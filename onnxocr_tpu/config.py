@@ -1,0 +1,189 @@
+"""Typed config registry for the OCR pipeline.
+
+The flag names and defaults mirror the reference's public kwargs surface
+(reference: onnxocr/utils.py:251-387 `infer_args()` — an argparse parser used
+purely as a defaults table, harvested by ONNXPaddleOcr at
+onnx_paddleocr.py:13-23). Callers pass any of these as keyword arguments to
+``ONNXPaddleOcr(**kwargs)``; unknown keys are accepted and stored, matching
+the reference's Namespace semantics.
+
+TPU-specific knobs live under the ``tpu_*`` prefix and have no reference
+counterpart.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from types import SimpleNamespace
+
+_PKG_DIR = Path(__file__).resolve().parent
+
+# Where model assets (char dicts, .onnx weight files) are looked up. The
+# repo does not vendor the upstream blobs; tools/fetch_assets.py stages them
+# into onnxocr_tpu/assets/ and ONNXOCR_TPU_ASSETS overrides the search root.
+_ASSET_SEARCH_PATHS = [
+    os.environ.get("ONNXOCR_TPU_ASSETS", ""),
+    str(_PKG_DIR / "assets"),
+    "/root/reference/onnxocr/models",
+]
+
+
+def find_asset(rel_path: str) -> str:
+    """Resolve a model-asset path (e.g. 'ppocrv5/det/det.onnx').
+
+    Returns the first existing candidate; otherwise returns the preferred
+    (assets-dir) path so error messages point at the right place to stage
+    files into.
+    """
+    rel_path = rel_path.lstrip("/")
+    for root in _ASSET_SEARCH_PATHS:
+        if not root:
+            continue
+        cand = os.path.join(root, rel_path)
+        if os.path.exists(cand):
+            return cand
+    return os.path.join(str(_PKG_DIR / "assets"), rel_path)
+
+
+def str2bool(v) -> bool:
+    """Reference-compatible bool parsing (onnxocr/utils.py:247-248)."""
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("true", "t", "1")
+
+
+# Flag name → default. Same names/defaults as the reference registry; inert
+# reference flags (EAST/SAST/PSE/FCE/SR/e2e/mp groups) are kept for kwarg
+# compatibility even though nothing consumes them here either.
+DEFAULTS = {
+    # prediction engine
+    "use_gpu": True,          # reference default; on TPU this is ignored
+    "use_xpu": False,
+    "use_npu": False,
+    "ir_optim": True,
+    "use_tensorrt": False,
+    "min_subgraph_size": 15,
+    "precision": "fp32",
+    "gpu_mem": 500,
+    "gpu_id": 0,
+    # text detector
+    "image_dir": None,
+    "page_num": 0,
+    "det_algorithm": "DB",
+    "det_model_dir": find_asset("ppocrv5/det/det.onnx"),
+    "det_limit_side_len": 960.0,
+    "det_limit_type": "max",
+    "det_box_type": "quad",
+    # DB params
+    "det_db_thresh": 0.3,
+    "det_db_box_thresh": 0.6,
+    "det_db_unclip_ratio": 1.5,
+    "max_batch_size": 10,
+    "use_dilation": False,
+    "det_db_score_mode": "fast",
+    # EAST params (inert)
+    "det_east_score_thresh": 0.8,
+    "det_east_cover_thresh": 0.1,
+    "det_east_nms_thresh": 0.2,
+    # SAST params (inert)
+    "det_sast_score_thresh": 0.5,
+    "det_sast_nms_thresh": 0.2,
+    # PSE params (inert)
+    "det_pse_thresh": 0.0,
+    "det_pse_box_thresh": 0.85,
+    "det_pse_min_area": 16.0,
+    "det_pse_scale": 1,
+    # FCE params (inert)
+    "scales": [8, 16, 32],
+    "alpha": 1.0,
+    "beta": 1.0,
+    "fourier_degree": 5,
+    # text recognizer
+    "rec_algorithm": "SVTR_LCNet",
+    "rec_model_dir": find_asset("ppocrv5/rec/rec.onnx"),
+    "rec_image_inverse": True,
+    "rec_image_shape": "3, 48, 320",
+    "rec_batch_num": 6,
+    "max_text_length": 25,
+    "rec_char_dict_path": find_asset("ppocrv5/ppocrv5_dict.txt"),
+    "use_space_char": True,
+    "vis_font_path": find_asset("fonts/simfang.ttf"),
+    "drop_score": 0.5,
+    # e2e params (inert)
+    "e2e_algorithm": "PGNet",
+    "e2e_model_dir": None,
+    "e2e_limit_side_len": 768.0,
+    "e2e_limit_type": "max",
+    "e2e_pgnet_score_thresh": 0.5,
+    "e2e_char_dict_path": find_asset("ic15_dict.txt"),
+    "e2e_pgnet_valid_set": "totaltext",
+    "e2e_pgnet_mode": "fast",
+    # text classifier
+    "use_angle_cls": False,
+    "cls_model_dir": find_asset("ppocrv4/cls/cls.onnx"),
+    "cls_image_shape": "3, 48, 192",
+    "label_list": ["0", "180"],
+    "cls_batch_num": 6,
+    "cls_thresh": 0.9,
+    # misc engine flags
+    "enable_mkldnn": False,
+    "cpu_threads": 10,
+    "use_pdserving": False,
+    "warmup": False,
+    # SR params (inert)
+    "sr_model_dir": None,
+    "sr_image_shape": "3, 32, 128",
+    "sr_batch_num": 1,
+    # output dirs
+    "draw_img_save_dir": str(_PKG_DIR / "inference_results"),
+    "save_crop_res": False,
+    "crop_res_save_dir": str(_PKG_DIR / "output"),
+    # multi-process flags (inert in reference too, utils.py:376-378)
+    "use_mp": False,
+    "total_process_num": 1,
+    "process_id": 0,
+    "benchmark": False,
+    "save_log_path": str(_PKG_DIR / "log_output"),
+    "show_log": True,
+    "use_onnx": False,
+
+    # ---- TPU-native knobs (no reference counterpart) ----
+    # Round det input sides up to this multiple so each distinct padded
+    # shape compiles exactly once (XLA static-shape discipline).
+    "tpu_det_bucket": 320,
+    # Recognizer width ladder; crops route to the smallest bucket that fits.
+    "tpu_rec_width_buckets": (320, 480, 640, 800, 960, 1280),
+    # Batch-size ladder for rec/cls calls (pad batch up to one of these).
+    "tpu_batch_buckets": (1, 2, 4, 8, 16, 32, 64),
+    # 'device' warps crops on TPU via the homography gather kernel;
+    # 'host' uses cv2.warpPerspective like the reference.
+    "tpu_crop_backend": "device",
+    # 'native' uses the hand-written NHWC JAX models (weights lifted from
+    # ONNX when available, else randomly initialized); 'graph' interprets
+    # the .onnx graph directly via GraphExecutor; 'auto' prefers native when
+    # it can lift the weights, else falls back to graph.
+    "tpu_backend": "auto",
+    # Compute dtype for the native models: 'float32' or 'bfloat16'.
+    "tpu_dtype": "float32",
+    # Interpolation for device crops: 'bilinear' | 'bicubic'.
+    "tpu_warp_interp": "bicubic",
+}
+
+
+def make_params(**kwargs) -> SimpleNamespace:
+    """Build a params namespace: defaults overlaid with kwargs.
+
+    Mirrors ONNXPaddleOcr.__init__ (reference onnx_paddleocr.py:11-26)
+    including the rec_image_shape force-set quirk (:20) — that happens in
+    pipeline/api.py, not here.
+    """
+    params = dict(DEFAULTS)
+    params.update(kwargs)
+    return SimpleNamespace(**params)
+
+
+def parse_shape(s) -> tuple:
+    """Parse "3, 48, 320" → (3, 48, 320)."""
+    if isinstance(s, (tuple, list)):
+        return tuple(int(v) for v in s)
+    return tuple(int(v) for v in str(s).split(","))
