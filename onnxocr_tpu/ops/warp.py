@@ -1,0 +1,230 @@
+"""Batched perspective-warp cropping on device.
+
+Replaces the reference's per-box host loop of cv2.getPerspectiveTransform +
+cv2.warpPerspective(..., BORDER_REPLICATE, INTER_CUBIC) followed by the
+recognizer's cv2.resize + pad (reference: onnxocr/utils.py:12-53,
+onnxocr/predict_rec.py:26-80, onnxocr/predict_system.py:48-54).
+
+TPU-native design: the source image is uploaded to HBM once (uint8), and all
+N crops are produced by ONE jit-compiled gather kernel that composes
+  dest pixel → (resize + optional rot90/rot180) → inverse homography → source
+into a single 3×3 matrix per crop, sampling bilinearly or bicubically and
+writing the recognizer-normalized float directly. The warp, the resize, the
+rotation quirks, the [-1,1] normalization, and the width-padding mask all fuse
+into one XLA program — no intermediate crops ever exist.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ----------------------------------------------------------------- homography
+def perspective_transform(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Solve the 3x3 homography H mapping src[i] → dst[i] (4 points each).
+
+    Equivalent to cv2.getPerspectiveTransform. Used with roles swapped to get
+    the dest→source map the gather kernel needs.
+    """
+    src = np.asarray(src, dtype=np.float64).reshape(4, 2)
+    dst = np.asarray(dst, dtype=np.float64).reshape(4, 2)
+    A = np.zeros((8, 8))
+    b = np.zeros(8)
+    for i in range(4):
+        x, y = src[i]
+        u, v = dst[i]
+        A[2 * i] = [x, y, 1, 0, 0, 0, -u * x, -u * y]
+        A[2 * i + 1] = [0, 0, 0, x, y, 1, -v * x, -v * y]
+        b[2 * i] = u
+        b[2 * i + 1] = v
+    h = np.linalg.solve(A, b)
+    return np.append(h, 1.0).reshape(3, 3)
+
+
+def crop_geometry(box: np.ndarray) -> Tuple[int, int]:
+    """Crop width/height from a quad, as the reference computes them
+    (onnxocr/utils.py:24-33)."""
+    pts = np.asarray(box, dtype=np.float32)
+    w = int(max(np.linalg.norm(pts[0] - pts[1]),
+                np.linalg.norm(pts[2] - pts[3])))
+    h = int(max(np.linalg.norm(pts[0] - pts[3]),
+                np.linalg.norm(pts[1] - pts[2])))
+    return w, h
+
+
+def _affine(a, b, c, d, tx, ty) -> np.ndarray:
+    return np.array([[a, b, tx], [c, d, ty], [0, 0, 1.0]])
+
+
+def build_crop_matrix(box: np.ndarray, out_h: int, bucket_w: int,
+                      min_wh_ratio: float = 0.0,
+                      rotate180: bool = False) -> Tuple[np.ndarray, int]:
+    """Compose the dest→source matrix for one crop.
+
+    Replicates the reference chain: perspective warp to (cw, ch); rot90 if
+    ch/cw >= 1.5 (utils.py:51-52); optional 180° rotation (the cls fix,
+    predict_cls.py:85-88); then resize height→out_h with width
+    ceil(out_h * ratio) capped at bucket_w (predict_rec.py:63-68).
+
+    Returns (H_mat 3x3 float32 dest(x,y)→src(x,y), resized_w).
+    """
+    pts = np.asarray(box, dtype=np.float32).reshape(4, 2)
+    cw, ch = crop_geometry(pts)
+    cw = max(cw, 1)
+    ch = max(ch, 1)
+    dst_std = np.array([[0, 0], [cw, 0], [cw, ch], [0, ch]], dtype=np.float32)
+    # dest crop coords → source image coords (roles swapped vs cv2 call)
+    M_inv = perspective_transform(dst_std, pts)
+
+    if ch * 1.0 / cw >= 1.5:
+        # np.rot90 (counter-clockwise): rotated[y', x'] = crop[x', cw-1-y']
+        rot = _affine(0, -1, 1, 0, cw - 1.0, 0.0)  # (x',y') → (crop_x,crop_y)
+        M_inv = M_inv @ rot
+        cw, ch = ch, cw
+
+    if rotate180:
+        # cv2.rotate(img, ROTATE_180): out[y,x] = in[ch-1-y, cw-1-x]
+        rot = _affine(-1, 0, 0, -1, cw - 1.0, ch - 1.0)
+        M_inv = M_inv @ rot
+
+    ratio = cw / float(ch)
+    if int(np.ceil(out_h * ratio)) > bucket_w:
+        resized_w = bucket_w
+    else:
+        resized_w = max(1, int(np.ceil(out_h * ratio)))
+    if ratio < min_wh_ratio:
+        # reference pads to imgW = imgH * max_wh_ratio; bucket_w plays that
+        # role here, resized_w already computed from the true ratio.
+        pass
+    # resize inverse with half-pixel convention (cv2.resize INTER_LINEAR):
+    # crop_x = (x + 0.5) * cw / resized_w - 0.5
+    sx = cw / float(resized_w)
+    sy = ch / float(out_h)
+    rs = _affine(sx, 0, 0, sy, 0.5 * sx - 0.5, 0.5 * sy - 0.5)
+    M = M_inv @ rs
+    return M.astype(np.float32), resized_w
+
+
+# ----------------------------------------------------------------- sampling
+def _cubic_weights(t, a=-0.75):
+    """cv2 INTER_CUBIC kernel (Catmull-Rom family, a=-0.75) weights for the
+    4 taps at offsets -1, 0, 1, 2 relative to floor(coord)."""
+    t2 = t * t
+    t3 = t2 * t
+    w0 = a * (t3 - 2 * t2 + t)
+    w1 = (a + 2) * t3 - (a + 3) * t2 + 1
+    w2 = -(a + 2) * t3 + (2 * a + 3) * t2 - a * t
+    w3 = a * (t2 - t3)
+    return w0, w1, w2, w3
+
+
+def _sample_bilinear(flat, H, W, sx, sy):
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def tap(yy, xx):
+        yy = jnp.clip(yy, 0, H - 1)
+        xx = jnp.clip(xx, 0, W - 1)
+        return jnp.take(flat, yy * W + xx, axis=0)
+
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = tap(y0, x0) * (1 - fx) + tap(y0, x0 + 1) * fx
+    bot = tap(y0 + 1, x0) * (1 - fx) + tap(y0 + 1, x0 + 1) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _sample_bicubic(flat, H, W, sx, sy):
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    wx = _cubic_weights(fx)
+    wy = _cubic_weights(fy)
+
+    def tap(yy, xx):
+        yy = jnp.clip(yy, 0, H - 1)
+        xx = jnp.clip(xx, 0, W - 1)
+        return jnp.take(flat, yy * W + xx, axis=0)
+
+    out = 0.0
+    for j in range(4):
+        row = 0.0
+        for i in range(4):
+            row = row + tap(y0 + j - 1, x0 + i - 1) * wx[i][..., None]
+        out = out + row * wy[j][..., None]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "interp"))
+def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
+               out_h: int, out_w: int, interp: str = "bicubic") -> jax.Array:
+    """Produce N normalized crops from one source image.
+
+    Args:
+      image_u8: (H, W, 3) uint8 source image (device-resident).
+      mats: (N, 3, 3) float32 dest→source matrices from build_crop_matrix.
+      valid_w: (N,) int32 resized widths; columns >= valid_w are zeroed
+        (matching the reference's zero-pad in normalized space,
+        predict_rec.py:78-79).
+    Returns:
+      (N, out_h, out_w, 3) float32, normalized to [-1, 1] (rec/cls scheme:
+      x/255 → (x-0.5)/0.5, predict_rec.py:74-77).
+    """
+    H, W = image_u8.shape[:2]
+    flat = image_u8.reshape(-1, 3).astype(jnp.float32)
+
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)  # (out_h, out_w)
+
+    def one(mat, vw):
+        u = mat[0, 0] * gx + mat[0, 1] * gy + mat[0, 2]
+        v = mat[1, 0] * gx + mat[1, 1] * gy + mat[1, 2]
+        w = mat[2, 0] * gx + mat[2, 1] * gy + mat[2, 2]
+        inv_w = 1.0 / w
+        sx = u * inv_w
+        sy = v * inv_w
+        # BORDER_REPLICATE == clamp to the valid source rectangle
+        sx = jnp.clip(sx, 0.0, W - 1.0)
+        sy = jnp.clip(sy, 0.0, H - 1.0)
+        if interp == "bicubic":
+            vals = _sample_bicubic(flat, H, W, sx, sy)
+        else:
+            vals = _sample_bilinear(flat, H, W, sx, sy)
+        vals = jnp.clip(vals, 0.0, 255.0)
+        norm = (vals / 255.0 - 0.5) / 0.5
+        mask = (gx < vw)[..., None]
+        return jnp.where(mask, norm, 0.0)
+
+    return jax.vmap(one)(mats, valid_w)
+
+
+def warp_crops_host(image: np.ndarray, mats: np.ndarray, valid_w: np.ndarray,
+                    out_h: int, out_w: int) -> np.ndarray:
+    """cv2-based host fallback with identical output contract (used for
+    parity tests and when tpu_crop_backend='host')."""
+    import cv2
+    n = len(mats)
+    out = np.zeros((n, out_h, out_w, 3), dtype=np.float32)
+    for i in range(n):
+        # cv2.warpPerspective wants src→dest; invert our dest→src matrix.
+        M = np.linalg.inv(mats[i].astype(np.float64))
+        vw = int(valid_w[i])
+        crop = cv2.warpPerspective(
+            image, M, (out_w, out_h),
+            borderMode=cv2.BORDER_REPLICATE, flags=cv2.INTER_CUBIC)
+        norm = (crop.astype(np.float32) / 255.0 - 0.5) / 0.5
+        norm[:, vw:] = 0.0
+        out[i] = norm
+    return out

@@ -1,0 +1,109 @@
+"""ctypes loader for the C++ host-runtime library (libocrhost.so).
+
+The library implements the irregular host-side pieces of DB postprocessing —
+connected-component contour tracing, min-area rect, and polygon offsetting —
+natively, replacing the reference's reliance on OpenCV/pyclipper C++ wheels
+(reference: onnxocr/db_postprocess.py:104-157). Built from
+onnxocr_tpu/runtime/native/*.cc via tools/build_native.py; all call sites
+fall back to cv2/numpy implementations when the library is absent.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_CANDIDATES = [
+    os.environ.get("ONNXOCR_TPU_NATIVE_LIB", ""),
+    os.path.join(_HERE, "native", "libocrhost.so"),
+]
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    for path in _CANDIDATES:
+        if path and os.path.exists(path):
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError:
+                continue
+            lib.ocr_find_contours.restype = ctypes.c_int
+            lib.ocr_find_contours.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),  # bitmap
+                ctypes.c_int, ctypes.c_int,      # h, w
+                ctypes.POINTER(ctypes.c_int32),  # out points (x,y)*
+                ctypes.POINTER(ctypes.c_int32),  # out contour lengths
+                ctypes.c_int, ctypes.c_int,      # max_points, max_contours
+            ]
+            lib.ocr_min_area_rect.restype = None
+            lib.ocr_min_area_rect.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),  # out: cx,cy,w,h,angle
+            ]
+            lib.ocr_offset_polygon.restype = ctypes.c_int
+            lib.ocr_offset_polygon.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+                ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ]
+            _LIB = lib
+            break
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def find_contours(bitmap_u8: np.ndarray) -> List[np.ndarray]:
+    lib = _load()
+    h, w = bitmap_u8.shape
+    bitmap_u8 = np.ascontiguousarray(bitmap_u8)
+    max_points = h * w + 4
+    max_contours = 4096
+    pts = np.empty((max_points, 2), dtype=np.int32)
+    lens = np.empty(max_contours, dtype=np.int32)
+    n = lib.ocr_find_contours(
+        bitmap_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_points, max_contours)
+    out = []
+    off = 0
+    for i in range(n):
+        k = lens[i]
+        out.append(pts[off:off + k].copy())
+        off += k
+    return out
+
+
+def min_area_rect(points: np.ndarray):
+    lib = _load()
+    pts = np.ascontiguousarray(points.astype(np.float32).reshape(-1, 2))
+    res = np.empty(5, dtype=np.float32)
+    lib.ocr_min_area_rect(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(pts),
+        res.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return (float(res[0]), float(res[1])), (float(res[2]), float(res[3])), \
+        float(res[4])
+
+
+def offset_polygon(poly: np.ndarray, distance: float) -> np.ndarray:
+    lib = _load()
+    pts = np.ascontiguousarray(poly.astype(np.float64).reshape(-1, 2))
+    max_out = len(pts) * 64 + 64
+    out = np.empty((max_out, 2), dtype=np.float64)
+    n = lib.ocr_offset_polygon(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(pts),
+        float(distance),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), max_out)
+    return out[:n].copy()
