@@ -1,0 +1,177 @@
+"""Functional NHWC building blocks for the native TPU models.
+
+All native models (models/cls.py, dbnet.py, svtr.py) are plain functions over
+explicit param pytrees (nested dicts) in NHWC layout with HWIO conv kernels —
+the layout XLA's TPU conv emitter wants, with channels on the 128-lane axis.
+Params are ordinary pytrees: optax can train them, jax.device_put shards
+them, and models/lift.py fills them from ONNX weights (OIHW → HWIO transpose
+happens at lift time, once).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = Dict[str, Any]
+
+
+def make_divisible(v: float, divisor: int = 8,
+                   min_value: Optional[int] = None) -> int:
+    """Channel rounding used by the MobileNetV3 family (PaddleOCR scheme)."""
+    if min_value is None:
+        min_value = divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+# ------------------------------------------------------------------ activations
+def hardswish(x):
+    return x * jnp.clip(x / 6.0 + 0.5, 0.0, 1.0)
+
+
+def hardsigmoid(x, alpha: float = 0.2, beta: float = 0.5):
+    # ONNX HardSigmoid default (alpha=0.2), as exported by paddle2onnx for
+    # the SE gates in the cls graph.
+    return jnp.clip(alpha * x + beta, 0.0, 1.0)
+
+
+ACTS = {
+    "relu": lambda x: jnp.maximum(x, 0),
+    "hswish": hardswish,
+    "none": lambda x: x,
+}
+
+
+# ------------------------------------------------------------------ init
+def conv_init(rng, k: int, cin: int, cout: int, groups: int = 1,
+              bias: bool = False, dtype=jnp.float32) -> Params:
+    fan_in = k * k * cin // groups
+    std = math.sqrt(2.0 / fan_in)
+    w = jax.random.normal(rng, (k, k, cin // groups, cout), dtype) * std
+    p: Params = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((cout,), dtype)
+    return p
+
+
+def bn_init(c: int, dtype=jnp.float32) -> Params:
+    return {
+        "scale": jnp.ones((c,), dtype),
+        "bias": jnp.zeros((c,), dtype),
+        "mean": jnp.zeros((c,), dtype),
+        "var": jnp.ones((c,), dtype),
+    }
+
+
+def convbn_init(rng, k: int, cin: int, cout: int, groups: int = 1,
+                dtype=jnp.float32) -> Params:
+    return {"conv": conv_init(rng, k, cin, cout, groups, dtype=dtype),
+            "bn": bn_init(cout, dtype)}
+
+
+# ------------------------------------------------------------------ apply
+def conv2d(x, p: Params, stride=(1, 1), groups: int = 1,
+           dilation=(1, 1), padding=None):
+    k = p["w"].shape[0]
+    if padding is None:
+        pad = ((k // 2) * dilation[0], (k // 2) * dilation[0])
+        padding = (pad, ((p["w"].shape[1] // 2) * dilation[1],) * 2)
+    out = lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), window_strides=stride, padding=padding,
+        rhs_dilation=dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32)
+    if "b" in p:
+        out = out + p["b"]
+    return out
+
+
+def batch_norm(x, p: Params, eps: float = 1e-5):
+    inv = p["scale"] * lax.rsqrt(p["var"] + eps)
+    return x * inv + (p["bias"] - p["mean"] * inv)
+
+
+def conv_bn_act(x, p: Params, stride=(1, 1), groups: int = 1,
+                act: str = "none", eps: float = 1e-5):
+    x = conv2d(x, p["conv"], stride=stride, groups=groups)
+    x = batch_norm(x, p["bn"], eps=eps)
+    return ACTS[act](x)
+
+
+def conv_transpose2x(x, p: Params):
+    """2x nearest-equivalent transposed conv (k=2, s=2, no padding) used by
+    the DB head upsampling. Kernel layout HWIO (I=cin, O=cout)."""
+    out = lax.conv_transpose(
+        x, p["w"].astype(x.dtype), strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if "b" in p:
+        out = out + p["b"]
+    return out
+
+
+def se_module(x, p: Params, alpha: float = 0.2):
+    """Squeeze-and-excitation: GAP → 1x1 reduce + relu → 1x1 expand +
+    hardsigmoid → scale."""
+    s = jnp.mean(x, axis=(1, 2), keepdims=True)
+    s = conv2d(s, p["reduce"])
+    s = jnp.maximum(s, 0)
+    s = conv2d(s, p["expand"])
+    s = hardsigmoid(s, alpha=alpha)
+    return x * s
+
+
+def se_init(rng, c: int, mid: Optional[int] = None, dtype=jnp.float32) -> Params:
+    if mid is None:
+        mid = c // 4
+    r1, r2 = jax.random.split(rng)
+    return {"reduce": conv_init(r1, 1, c, mid, bias=True, dtype=dtype),
+            "expand": conv_init(r2, 1, mid, c, bias=True, dtype=dtype)}
+
+
+def max_pool(x, k=(2, 2), stride=(2, 2)):
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, k[0], k[1], 1), (1, stride[0], stride[1], 1),
+        "VALID")
+
+
+def avg_pool(x, k=(2, 2), stride=(2, 2)):
+    s = lax.reduce_window(
+        x, 0.0, lax.add, (1, k[0], k[1], 1), (1, stride[0], stride[1], 1),
+        "VALID")
+    return s / (k[0] * k[1])
+
+
+def linear_init(rng, cin: int, cout: int, dtype=jnp.float32) -> Params:
+    std = math.sqrt(1.0 / cin)
+    return {"w": jax.random.normal(rng, (cin, cout), dtype) * std,
+            "b": jnp.zeros((cout,), dtype)}
+
+
+def linear(x, p: Params):
+    return jnp.matmul(x, p["w"].astype(x.dtype),
+                      preferred_element_type=jnp.float32) + p["b"]
+
+
+def resize_nearest_2x(x):
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def tree_cast(params, dtype):
+    return jax.tree_util.tree_map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating)
+        else a, params)
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(a.shape))
+               for a in jax.tree_util.tree_leaves(params))
