@@ -1,0 +1,124 @@
+"""SVTR-LCNet-style CTC recognizer (NHWC, functional).
+
+The reference runs an exported SVTR_LCNet graph through onnxruntime
+(onnxocr/predict_rec.py:280-326; rec_algorithm default SVTR_LCNet,
+utils.py:307). This native version follows the same recipe from the
+PP-OCRv3 report (arXiv:2206.03001): a light depthwise-separable conv
+backbone that collapses height 48 → 1 and width W → W/8, followed by
+global-mixing transformer blocks and a CTC head over the dictionary.
+
+Input: (N, 48, W, 3) in [-1, 1], W a bucket multiple of 8.
+Output: (N, W//8, vocab) CTC logits — argmax/prob reduction happens inside
+the same jit (ops/ctc.ctc_reduce_logits) so the vocab axis never leaves the
+device.
+
+When a real rec.onnx is supplied the pipeline uses GraphExecutor; this
+native net is the trainable path (train/rec_trainer.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import common as cm
+
+# (out_ch, stride) depthwise-separable stages after the stem.
+_STAGES: Tuple[Tuple[int, Tuple[int, int]], ...] = (
+    (64, (2, 1)),   # H 24→12
+    (64, (1, 1)),
+    (128, (2, 2)),  # H 12→6, W/2→W/4
+    (128, (1, 1)),
+    (256, (2, 1)),  # H 6→3
+    (256, (1, 1)),
+)
+_MIXER_DIM = 192
+_MIXER_HEADS = 6
+_MIXER_DEPTH = 2
+_MLP_RATIO = 2
+
+
+def init(rng, vocab_size: int, dtype=jnp.float32) -> Dict[str, Any]:
+    keys = jax.random.split(rng, 8 + 2 * len(_STAGES) + 6 * _MIXER_DEPTH)
+    ki = iter(range(len(keys)))
+    p: Dict[str, Any] = {
+        "stem": cm.convbn_init(keys[next(ki)], 3, 3, 32, dtype=dtype),
+        "stages": [],
+    }
+    cin = 32
+    for cout, s in _STAGES:
+        p["stages"].append({
+            "dw": cm.convbn_init(keys[next(ki)], 3, cin, cin, groups=cin,
+                                 dtype=dtype),
+            "pw": cm.convbn_init(keys[next(ki)], 1, cin, cout, dtype=dtype),
+        })
+        cin = cout
+    # project (3, W/4, 256) → pooled (1, W/8) sequence at mixer dim
+    p["neck"] = cm.convbn_init(keys[next(ki)], 1, cin, _MIXER_DIM,
+                               dtype=dtype)
+    p["mixer"] = []
+    for _ in range(_MIXER_DEPTH):
+        blk = {
+            "ln1": {"scale": jnp.ones((_MIXER_DIM,), dtype),
+                    "bias": jnp.zeros((_MIXER_DIM,), dtype)},
+            "qkv": cm.linear_init(keys[next(ki)], _MIXER_DIM,
+                                  3 * _MIXER_DIM, dtype=dtype),
+            "proj": cm.linear_init(keys[next(ki)], _MIXER_DIM, _MIXER_DIM,
+                                   dtype=dtype),
+            "ln2": {"scale": jnp.ones((_MIXER_DIM,), dtype),
+                    "bias": jnp.zeros((_MIXER_DIM,), dtype)},
+            "fc1": cm.linear_init(keys[next(ki)], _MIXER_DIM,
+                                  _MLP_RATIO * _MIXER_DIM, dtype=dtype),
+            "fc2": cm.linear_init(keys[next(ki)], _MLP_RATIO * _MIXER_DIM,
+                                  _MIXER_DIM, dtype=dtype),
+        }
+        p["mixer"].append(blk)
+    p["head"] = cm.linear_init(keys[next(ki)], _MIXER_DIM, vocab_size,
+                               dtype=dtype)
+    return p
+
+
+def _layer_norm(x, p, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _attn(x, blk):
+    n, t, d = x.shape
+    h = _MIXER_HEADS
+    qkv = cm.linear(x, blk["qkv"]).reshape(n, t, 3, h, d // h)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    q = jnp.swapaxes(q, 1, 2)  # (n, h, t, dh)
+    k = jnp.swapaxes(k, 1, 2)
+    v = jnp.swapaxes(v, 1, 2)
+    scores = jnp.einsum("nhtd,nhsd->nhts", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(d // h).astype(scores.dtype)
+    w = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("nhts,nhsd->nhtd", w, v,
+                     preferred_element_type=jnp.float32)
+    out = jnp.swapaxes(out, 1, 2).reshape(n, t, d)
+    return cm.linear(out, blk["proj"])
+
+
+def apply(params, x) -> jnp.ndarray:
+    """x: (N, 48, W, 3) → (N, W//8, vocab) logits."""
+    x = cm.conv_bn_act(x, params["stem"], stride=(2, 2), act="hswish")
+    for (cout, s), st in zip(_STAGES, params["stages"]):
+        x = cm.conv_bn_act(x, st["dw"], stride=s, groups=x.shape[-1],
+                           act="hswish")
+        x = cm.conv_bn_act(x, st["pw"], act="hswish")
+    x = cm.conv_bn_act(x, params["neck"], act="hswish")
+    # (N, 3, W/4, D) → avg over height, pool width /2 → (N, W/8, D)
+    x = cm.avg_pool(x, (x.shape[1], 2), (x.shape[1], 2))
+    x = x[:, 0]  # (N, T, D)
+    for blk in params["mixer"]:
+        x = x + _attn(_layer_norm(x, blk["ln1"]), blk)
+        y = _layer_norm(x, blk["ln2"])
+        y = cm.linear(y, blk["fc1"])
+        y = jax.nn.gelu(y)
+        y = cm.linear(y, blk["fc2"])
+        x = x + y
+    return cm.linear(x, params["head"])

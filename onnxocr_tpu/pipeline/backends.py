@@ -1,0 +1,214 @@
+"""Stage forwards: uniform device-callable wrappers over the two backends.
+
+Each OCR stage (det / cls / rec) gets a `*Forward` object whose __call__ is a
+jit-compiled TPU program with a fixed tensor contract, regardless of whether
+the underlying network is
+
+* **native** — hand-written NHWC JAX model from onnxocr_tpu/models (weights
+  lifted from ONNX where available, loaded from trained checkpoints, or
+  random-initialized), or
+* **graph** — a user-provided .onnx interpreted by onnx.executor
+  (NCHW; the wrapper fuses the uint8→normalized transform and the output
+  reduction into the same jit so the contract matches the native path).
+
+This replaces the reference's PredictBase onnxruntime session layer
+(onnxocr/predict_base.py).
+"""
+from __future__ import annotations
+
+import functools
+import os
+import threading
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..onnx.executor import GraphExecutor
+from ..ops import ctc as ctc_ops
+from ..ops import det_pre
+from ..models import cls as cls_model
+from ..models import dbnet, svtr, lift
+from ..models import common as cm
+
+
+class _JitCache:
+    """Per-shape jit cache with a lock (GraphExecutor-style)."""
+
+    def __init__(self, build: Callable):
+        self._build = build
+        self._fns: Dict[tuple, Any] = {}
+        self._lock = threading.Lock()
+
+    def get(self, key):
+        fn = self._fns.get(key)
+        if fn is None:
+            with self._lock:
+                fn = self._fns.get(key)
+                if fn is None:
+                    fn = self._build()
+                    self._fns[key] = fn
+        return fn
+
+
+class DetForward:
+    """(Hb, Wb, 3) uint8 → (Hb, Wb) float32 shrink-prob map."""
+
+    def __init__(self, backend: str, model_path: Optional[str] = None,
+                 params: Optional[dict] = None, dtype=jnp.float32):
+        self.backend = backend
+        self.dtype = dtype
+        if backend == "graph":
+            self.executor = GraphExecutor(model_path, name="det")
+        else:
+            assert params is not None
+            self.params = params
+        self._jit = None
+
+    def _native_fn(self, x_u8):
+        x = det_pre.normalize_det(x_u8)[None].astype(self.dtype)
+        return dbnet.apply(self.params, x)[0].astype(jnp.float32)
+
+    def _graph_fn(self, x_u8):
+        x = det_pre.normalize_det(x_u8)[None].astype(jnp.float32)
+        x = jnp.transpose(x, (0, 3, 1, 2))  # NCHW for the ONNX graph
+        out = self.executor._interpret(self.executor._get_device_weights(),
+                                       {self.executor.input_names[0]: x})[0]
+        return out[0, 0]  # (1,1,H,W) → (H,W)
+
+    def __call__(self, padded_u8: np.ndarray) -> jax.Array:
+        if self._jit is None:
+            fn = self._native_fn if self.backend == "native" else self._graph_fn
+            self._jit = jax.jit(fn)
+        return self._jit(padded_u8)
+
+
+class ClsForward:
+    """(N, 48, 192, 3) float32 in [-1,1] → (N, 2) softmax probs."""
+
+    def __init__(self, backend: str, model_path: Optional[str] = None,
+                 params: Optional[dict] = None, dtype=jnp.float32):
+        self.backend = backend
+        self.dtype = dtype
+        if backend == "graph":
+            self.executor = GraphExecutor(model_path, name="cls")
+        else:
+            assert params is not None
+            self.params = params
+        self._jit = None
+
+    def _native_fn(self, crops):
+        return cls_model.apply(self.params,
+                               crops.astype(self.dtype)).astype(jnp.float32)
+
+    def _graph_fn(self, crops):
+        x = jnp.transpose(crops, (0, 3, 1, 2))
+        return self.executor._interpret(
+            self.executor._get_device_weights(),
+            {self.executor.input_names[0]: x})[0]
+
+    def __call__(self, crops) -> jax.Array:
+        if self._jit is None:
+            fn = self._native_fn if self.backend == "native" else self._graph_fn
+            self._jit = jax.jit(fn)
+        return self._jit(crops)
+
+
+class RecForward:
+    """(N, 48, W, 3) float32 in [-1,1] → ((N, T) argmax idx, (N, T) prob).
+
+    The vocab axis is reduced on device (ops/ctc.py) — only 2*N*T scalars
+    are downloaded instead of the N*T*18385 probability tensor the reference
+    pulls through host memory (predict_rec.py:316-320).
+    """
+
+    def __init__(self, backend: str, model_path: Optional[str] = None,
+                 params: Optional[dict] = None, dtype=jnp.float32):
+        self.backend = backend
+        self.dtype = dtype
+        if backend == "graph":
+            self.executor = GraphExecutor(model_path, name="rec")
+        else:
+            assert params is not None
+            self.params = params
+        self._jit = None
+
+    def _native_fn(self, crops):
+        logits = svtr.apply(self.params, crops.astype(self.dtype))
+        return ctc_ops.ctc_reduce_logits(logits.astype(jnp.float32))
+
+    def _graph_fn(self, crops):
+        x = jnp.transpose(crops, (0, 3, 1, 2))
+        probs = self.executor._interpret(
+            self.executor._get_device_weights(),
+            {self.executor.input_names[0]: x})[0]
+        return ctc_ops.ctc_reduce(probs)
+
+    def __call__(self, crops) -> Tuple[jax.Array, jax.Array]:
+        if self._jit is None:
+            fn = self._native_fn if self.backend == "native" else self._graph_fn
+            self._jit = jax.jit(fn)
+        return self._jit(crops)
+
+
+# --------------------------------------------------------------------- zoo
+def _load_native_params(model_dir: str):
+    """Load trained native params from <model_dir>/native_params.npz."""
+    path = os.path.join(os.path.dirname(model_dir), "native_params.npz")
+    if not os.path.exists(path):
+        return None
+    from ..utils.params_io import load_tree
+    return load_tree(path)
+
+
+def resolve_backend(kind: str, model_path: str, requested: str,
+                    vocab_size: int = 0, dtype=jnp.float32):
+    """Pick the backend for one stage.
+
+    `requested` ∈ {auto, native, graph}. auto: lift weights into the native
+    model when we know how (cls), else run the graph; if the .onnx file is
+    missing (the reference snapshot ships without det/rec blobs,
+    /root/reference/.MISSING_LARGE_BLOBS), fall back to the native model
+    with checkpoint or random init so the pipeline stays functional.
+    """
+    have_file = model_path and os.path.exists(model_path)
+    if requested == "graph" or (requested == "auto" and have_file
+                                and kind != "cls"):
+        if not have_file:
+            raise FileNotFoundError(
+                f"{kind} model not found: {model_path}. Stage the .onnx "
+                "into onnxocr_tpu/assets/ (see tools/fetch_assets.py) or "
+                "use tpu_backend='native'.")
+        return "graph", model_path, None
+
+    # native path
+    params = None
+    if have_file and kind == "cls":
+        from ..onnx import ir
+        try:
+            params = lift.lift_cls(ir.load_model(model_path))
+        except ValueError:
+            # unknown cls variant → run the graph directly
+            return "graph", model_path, None
+    if params is None and model_path:
+        params = _load_native_params(model_path)
+    if params is None:
+        if requested == "native" or not have_file:
+            rng = jax.random.PRNGKey(0)
+            if kind == "det":
+                params = dbnet.init(rng)
+            elif kind == "cls":
+                params = cls_model.init(rng)
+            else:
+                params = svtr.init(rng, vocab_size)
+            import warnings
+            warnings.warn(
+                f"{kind}: no weights at {model_path!r}; using randomly "
+                "initialized native model (functional pipeline, untrained "
+                "outputs).")
+        else:
+            return "graph", model_path, None
+    if dtype != jnp.float32:
+        params = cm.tree_cast(params, dtype)
+    return "native", model_path, params

@@ -1,0 +1,97 @@
+"""Text detector: resize → device DBNet forward → DB postprocess → quads.
+
+Reference contract: onnxocr/predict_det.py TextDetector.__call__(img) →
+(N, 4, 2) float32 boxes ordered clockwise, filtered to sides > 3px. The
+TPU version pads the resized image to a compile bucket and slices the prob
+map back to the exact (resize_h, resize_w) before postprocessing, so box
+coordinates match the reference geometry.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import det_pre, geometry
+from ..ops.db_post import DBPostProcess
+from .. import config as cfg_mod
+from . import backends
+
+
+class TextDetector:
+    def __init__(self, args):
+        self.args = args
+        self.limit_side_len = args.det_limit_side_len
+        self.limit_type = args.det_limit_type
+        self.bucket = int(getattr(args, "tpu_det_bucket", 320))
+        self.postprocess_op = DBPostProcess(
+            thresh=args.det_db_thresh,
+            box_thresh=args.det_db_box_thresh,
+            max_candidates=1000,
+            unclip_ratio=args.det_db_unclip_ratio,
+            use_dilation=args.use_dilation,
+            score_mode=args.det_db_score_mode,
+            box_type=args.det_box_type,
+        )
+        dtype = jnp.bfloat16 if getattr(args, "tpu_dtype", "float32") == \
+            "bfloat16" else jnp.float32
+        backend, path, params = backends.resolve_backend(
+            "det", args.det_model_dir,
+            getattr(args, "tpu_backend", "auto"), dtype=dtype)
+        self.forward = backends.DetForward(backend, path, params, dtype)
+
+    def order_points_clockwise(self, pts: np.ndarray) -> np.ndarray:
+        return geometry.order_points_clockwise(pts)
+
+    def clip_det_res(self, points, img_height, img_width):
+        points = np.array(points)
+        points[:, 0] = np.clip(points[:, 0], 0, img_width - 1)
+        points[:, 1] = np.clip(points[:, 1], 0, img_height - 1)
+        return points
+
+    def filter_tag_det_res(self, dt_boxes, image_shape):
+        """Clockwise order, clip to image, drop boxes with side <= 3px
+        (reference predict_det.py:67-81)."""
+        img_height, img_width = image_shape[:2]
+        out = []
+        for box in dt_boxes:
+            if isinstance(box, list):
+                box = np.array(box)
+            box = self.order_points_clockwise(box)
+            box = self.clip_det_res(box, img_height, img_width)
+            rect_width = int(np.linalg.norm(box[0] - box[1]))
+            rect_height = int(np.linalg.norm(box[0] - box[3]))
+            if rect_width <= 3 or rect_height <= 3:
+                continue
+            out.append(box)
+        return np.array(out)
+
+    def filter_tag_det_res_only_clip(self, dt_boxes, image_shape):
+        img_height, img_width = image_shape[:2]
+        out = []
+        for box in dt_boxes:
+            if isinstance(box, list):
+                box = np.array(box)
+            box = self.clip_det_res(box, img_height, img_width)
+            out.append(box)
+        return np.array(out)
+
+    def infer_prob_map(self, img: np.ndarray):
+        """Run the device forward; returns (prob_map (rh, rw) float32 numpy,
+        shape_info). Exposed separately for bench/engine batching."""
+        padded, shape_info, (rh, rw) = det_pre.prepare_det_input(
+            img, self.limit_side_len, self.limit_type, self.bucket)
+        prob_padded = self.forward(padded)
+        prob = np.asarray(prob_padded)[:rh, :rw]
+        return prob, shape_info
+
+    def __call__(self, img: np.ndarray) -> Optional[np.ndarray]:
+        ori_shape = img.shape
+        prob, shape_info = self.infer_prob_map(img)
+        preds = {"maps": prob[None, None]}
+        post_result = self.postprocess_op(preds, shape_info[None])
+        dt_boxes = post_result[0]["points"]
+        if self.args.det_box_type == "poly":
+            return self.filter_tag_det_res_only_clip(dt_boxes, ori_shape)
+        return self.filter_tag_det_res(dt_boxes, ori_shape)

@@ -1,0 +1,161 @@
+"""CTC text recognizer.
+
+Reference contract: onnxocr/predict_rec.py TextRecognizer(args)(img_list) →
+[(text, score)] in input order. Two execution paths here:
+
+* `__call__(img_list)` — reference-compatible: takes host crop arrays
+  (BGR uint8/float), resizes with the exact reference arithmetic
+  (predict_rec.py:54-80), routes to width buckets, runs one device call per
+  (bucket, batch) and decodes. Used by the det=False API paths
+  (onnx_paddleocr.py:46-61).
+* `run_boxes(image_u8, boxes, rot180)` — TPU-native hot path used by
+  TextSystem: crops never exist on host; warp+normalize+forward+CTC-reduce
+  fuse into per-bucket device calls against the HBM-resident source image.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import config as cfg_mod
+from ..ops import ctc as ctc_ops
+from ..ops import warp as warp_ops
+from . import backends, batching
+
+
+class TextRecognizer:
+    def __init__(self, args):
+        self.args = args
+        self.rec_image_shape = cfg_mod.parse_shape(args.rec_image_shape)
+        self.rec_batch_num = args.rec_batch_num
+        self.rec_algorithm = args.rec_algorithm
+        self.width_ladder = tuple(getattr(args, "tpu_rec_width_buckets",
+                                          (320, 480, 640, 800, 960, 1280)))
+        self.batch_ladder = tuple(getattr(args, "tpu_batch_buckets",
+                                          (1, 2, 4, 8, 16, 32, 64)))
+        self.interp = getattr(args, "tpu_warp_interp", "bicubic")
+        self.postprocess_op = ctc_ops.CTCLabelDecode(
+            character_dict_path=args.rec_char_dict_path,
+            use_space_char=args.use_space_char)
+        dtype = jnp.bfloat16 if getattr(args, "tpu_dtype", "float32") == \
+            "bfloat16" else jnp.float32
+        backend, path, params = backends.resolve_backend(
+            "rec", args.rec_model_dir, getattr(args, "tpu_backend", "auto"),
+            vocab_size=len(self.postprocess_op.character), dtype=dtype)
+        self.forward = backends.RecForward(backend, path, params, dtype)
+
+    # ---------------------------------------------------------------- shared
+    def _decode_chunk(self, crops: np.ndarray, valid_ws: List[int],
+                      n_real: int) -> List[Tuple[str, float]]:
+        imgH = self.rec_image_shape[1]
+        idx, prob = self.forward(crops)
+        idx = np.asarray(idx)[:n_real]
+        prob = np.asarray(prob)[:n_real]
+        # Restrict decode to valid (un-padded) time steps. The model reduces
+        # width by 8 (T = W/8); padded columns were zeroed.
+        stride = crops.shape[2] // idx.shape[1]
+        valid_t = [min(idx.shape[1], math.ceil(w / stride))
+                   for w in valid_ws[:n_real]]
+        return self.postprocess_op.decode_indices(
+            idx, prob, is_remove_duplicate=True, valid_t=valid_t)
+
+    def _run_batches(self, make_crops, desired_ws: List[int]
+                     ) -> List[Tuple[str, float]]:
+        """make_crops(indices, bucket_w, bsz) → ((bsz, 48, bucket_w, 3) f32,
+        valid_ws[bsz]) with rows past len(indices) zero-padded. Routes
+        indices to width buckets, pads batches up the ladder, restores input
+        order."""
+        n = len(desired_ws)
+        results: List[Tuple[str, float]] = [("", 0.0)] * n
+        groups = batching.group_by_bucket(desired_ws, self.width_ladder)
+        max_batch = self.batch_ladder[-1]
+        for bucket_w, indices in groups.items():
+            for chunk in batching.chunks_of(indices, max_batch):
+                bsz = batching.pick_batch_bucket(len(chunk),
+                                                 self.batch_ladder)
+                crops, valid_ws = make_crops(chunk, bucket_w, bsz)
+                out = self._decode_chunk(crops, list(valid_ws), len(chunk))
+                for i, res in zip(chunk, out):
+                    results[i] = res
+        return results
+
+    # ------------------------------------------------------- host crop path
+    def resize_norm_img(self, img: np.ndarray, bucket_w: int
+                        ) -> Tuple[np.ndarray, int]:
+        """Reference resize arithmetic (predict_rec.py:54-80) against a
+        bucket width instead of the per-batch dynamic imgW."""
+        import cv2
+        imgC, imgH, _ = self.rec_image_shape
+        h, w = img.shape[:2]
+        ratio = w / float(h)
+        if math.ceil(imgH * ratio) > bucket_w:
+            resized_w = bucket_w
+        else:
+            resized_w = int(math.ceil(imgH * ratio))
+        resized = cv2.resize(img, (resized_w, imgH)).astype(np.float32)
+        resized = resized / 255.0
+        resized = (resized - 0.5) / 0.5
+        out = np.zeros((imgH, bucket_w, imgC), dtype=np.float32)
+        out[:, :resized_w] = resized if resized.ndim == 3 \
+            else resized[..., None]
+        return out, resized_w
+
+    def __call__(self, img_list: Sequence[np.ndarray]
+                 ) -> List[Tuple[str, float]]:
+        if len(img_list) == 0:
+            return []
+        imgH = self.rec_image_shape[1]
+        min_w = int(self.rec_image_shape[2])  # quirk: ratio floor 320/48
+        desired = [max(min_w, math.ceil(imgH * im.shape[1] / im.shape[0]))
+                   for im in img_list]
+
+        def make_crops(indices, bucket_w, bsz):
+            crops = np.zeros((bsz, imgH, bucket_w, 3), np.float32)
+            valid = []
+            for row, i in enumerate(indices):
+                crops[row], vw = self.resize_norm_img(img_list[i], bucket_w)
+                valid.append(vw)
+            valid += [bucket_w] * (bsz - len(indices))
+            return crops, valid
+
+        return self._run_batches(make_crops, desired)
+
+    # ------------------------------------------------------ device hot path
+    def run_boxes(self, image_u8_dev, boxes: np.ndarray,
+                  rot180: Optional[np.ndarray] = None
+                  ) -> List[Tuple[str, float]]:
+        """image_u8_dev: device (H, W, 3) uint8; boxes: (N, 4, 2) source
+        coords; rot180: (N,) bool from the angle classifier."""
+        n = len(boxes)
+        if n == 0:
+            return []
+        imgH = self.rec_image_shape[1]
+        min_w = int(self.rec_image_shape[2])
+        if rot180 is None:
+            rot180 = np.zeros(n, dtype=bool)
+        desired = []
+        for b in boxes:
+            cw, ch = warp_ops.crop_geometry(b)
+            cw = max(cw, 1)
+            ch = max(ch, 1)
+            if ch / cw >= 1.5:
+                cw, ch = ch, cw
+            desired.append(max(min_w, math.ceil(imgH * cw / ch)))
+
+        def make_crops(indices, bucket_w, bsz):
+            mats = np.tile(np.eye(3, dtype=np.float32), (bsz, 1, 1))
+            valid = []
+            for row, i in enumerate(indices):
+                mats[row], vw = warp_ops.build_crop_matrix(
+                    boxes[i], imgH, bucket_w, rotate180=bool(rot180[i]))
+                valid.append(vw)
+            valid_arr = np.array(valid + [0] * (bsz - len(indices)), np.int32)
+            crops = warp_ops.warp_crops(
+                image_u8_dev, jnp.asarray(mats), jnp.asarray(valid_arr),
+                imgH, bucket_w, self.interp)
+            return crops, list(valid_arr)
+
+        return self._run_batches(make_crops, desired)

@@ -1,0 +1,122 @@
+"""TextSystem: the det → sort → crop → cls → rec hot path.
+
+Reference contract: onnxocr/predict_system.py TextSystem(args)(img, cls) →
+(filter_boxes, filter_rec_res); quirks preserved: (None, None) when det
+returns None (:40-41), sorted_boxes' single 10px-tolerance bubble pass
+(:75-97), drop_score filtering of rec results only (:65-70).
+
+TPU data flow (tpu_crop_backend='device'): the source image uploads to HBM
+once; crops never materialize on host — cls reads warped 48×192 tensors from
+the image, its 180° verdicts fold into the recognizer's warp homographies,
+and rec runs per width bucket straight from the same HBM image.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import detector, classifier, recognizer
+from ..utils.image import get_rotate_crop_image, get_minarea_rect_crop, \
+    minarea_quad
+
+
+class TextSystem:
+    def __init__(self, args):
+        self.args = args
+        self.text_detector = detector.TextDetector(args)
+        self.text_recognizer = recognizer.TextRecognizer(args)
+        self.use_angle_cls = args.use_angle_cls
+        self.drop_score = args.drop_score
+        if self.use_angle_cls:
+            self.text_classifier = classifier.TextClassifier(args)
+        self.crop_backend = getattr(args, "tpu_crop_backend", "device")
+        self.crop_image_res_index = 0
+
+    def draw_crop_rec_res(self, output_dir, img_crop_list, rec_res):
+        import cv2
+        os.makedirs(output_dir, exist_ok=True)
+        for bno in range(len(img_crop_list)):
+            cv2.imwrite(
+                os.path.join(output_dir,
+                             f"mg_crop_{bno + self.crop_image_res_index}.jpg"),
+                img_crop_list[bno])
+        self.crop_image_res_index += len(img_crop_list)
+
+    def _call_host_crops(self, img, cls: bool):
+        """Reference-style path: crops materialized with cv2 on host."""
+        ori_im = img.copy()
+        dt_boxes = self.text_detector(img)
+        if dt_boxes is None:
+            return None, None
+        dt_boxes = sorted_boxes(dt_boxes)
+        img_crop_list = []
+        for box in dt_boxes:
+            tmp_box = np.array(box, copy=True)
+            if self.args.det_box_type == "quad":
+                img_crop_list.append(get_rotate_crop_image(ori_im, tmp_box))
+            else:
+                img_crop_list.append(get_minarea_rect_crop(ori_im, tmp_box))
+        if self.use_angle_cls and cls:
+            img_crop_list, _ = self.text_classifier(img_crop_list)
+        rec_res = self.text_recognizer(img_crop_list)
+        if self.args.save_crop_res:
+            self.draw_crop_rec_res(self.args.crop_res_save_dir,
+                                   img_crop_list, rec_res)
+        return dt_boxes, rec_res
+
+    def _call_device_crops(self, img, cls: bool):
+        dt_boxes = self.text_detector(img)
+        if dt_boxes is None:
+            return None, None
+        dt_boxes = sorted_boxes(dt_boxes)
+        n = len(dt_boxes)
+        if n == 0:
+            return dt_boxes, []
+        if self.args.det_box_type == "quad":
+            crop_quads = np.asarray(dt_boxes, dtype=np.float32)
+        else:
+            crop_quads = np.stack([minarea_quad(np.asarray(b))
+                                   for b in dt_boxes]).astype(np.float32)
+        image_dev = jax.device_put(np.ascontiguousarray(img))
+        rot180 = None
+        if self.use_angle_cls and cls:
+            rot180, _ = self.text_classifier.run_boxes(image_dev, crop_quads)
+        rec_res = self.text_recognizer.run_boxes(image_dev, crop_quads,
+                                                 rot180)
+        return dt_boxes, rec_res
+
+    def __call__(self, img, cls: bool = True):
+        if self.crop_backend == "device":
+            dt_boxes, rec_res = self._call_device_crops(img, cls)
+        else:
+            dt_boxes, rec_res = self._call_host_crops(img, cls)
+        if dt_boxes is None:
+            return None, None
+        filter_boxes, filter_rec_res = [], []
+        for box, rec_result in zip(dt_boxes, rec_res):
+            text, score = rec_result
+            if score >= self.drop_score:
+                filter_boxes.append(box)
+                filter_rec_res.append(rec_result)
+        return filter_boxes, filter_rec_res
+
+
+def sorted_boxes(dt_boxes) -> List[np.ndarray]:
+    """Top-to-bottom then left-to-right with a single bubble pass of 10px
+    y-tolerance — intentionally not a full sort (reference
+    predict_system.py:75-97, parity trap #3 in SURVEY.md)."""
+    num_boxes = len(dt_boxes)
+    sorted_list = sorted(dt_boxes, key=lambda x: (x[0][1], x[0][0]))
+    _boxes = list(sorted_list)
+    for i in range(num_boxes - 1):
+        for j in range(i, -1, -1):
+            if abs(_boxes[j + 1][0][1] - _boxes[j][0][1]) < 10 and \
+                    (_boxes[j + 1][0][0] < _boxes[j][0][0]):
+                _boxes[j], _boxes[j + 1] = _boxes[j + 1], _boxes[j]
+            else:
+                break
+    return _boxes
