@@ -1,0 +1,91 @@
+"""DB postprocess: synthetic prob maps → boxes, matching reference semantics
+(onnxocr/db_postprocess.py)."""
+import numpy as np
+import pytest
+
+from onnxocr_tpu.ops.db_post import DBPostProcess, box_score_fast
+
+
+def _synthetic_map(h=160, w=320, rects=((20, 30, 120, 55), (40, 80, 300, 110))):
+    """Prob map with hot rectangles (x0, y0, x1, y1)."""
+    pred = np.zeros((h, w), np.float32)
+    for x0, y0, x1, y1 in rects:
+        pred[y0:y1, x0:x1] = 0.9
+    return pred
+
+
+def test_boxes_from_synthetic_map():
+    pred = _synthetic_map()
+    post = DBPostProcess(thresh=0.3, box_thresh=0.6, unclip_ratio=1.5,
+                         box_type="quad")
+    out = post({"maps": pred[None, None]},
+               np.array([[160, 320, 1.0, 1.0]]))
+    boxes = out[0]["points"]
+    assert len(boxes) == 2
+    # Each detected quad must cover its source rect (after 1.5 unclip, the
+    # box is larger than the hot region but centered on it).
+    centers = sorted([tuple(np.mean(b, axis=0)) for b in boxes])
+    expected = sorted([(69.5, 42.0), (169.5, 94.5)])
+    for (cx, cy), (ex, ey) in zip(centers, expected):
+        assert abs(cx - ex) < 3 and abs(cy - ey) < 3
+
+
+def test_box_thresh_filters_weak_boxes():
+    pred = _synthetic_map(rects=((20, 30, 120, 55),))
+    pred[pred > 0] = 0.4  # above thresh=0.3 but below box_thresh=0.6
+    post = DBPostProcess(thresh=0.3, box_thresh=0.6)
+    out = post({"maps": pred[None, None]}, np.array([[160, 320, 1.0, 1.0]]))
+    assert len(out[0]["points"]) == 0
+
+
+def test_min_size_filter():
+    pred = np.zeros((160, 320), np.float32)
+    pred[50:52, 100:102] = 0.95  # 2x2 blob < min_size 3
+    post = DBPostProcess(thresh=0.3, box_thresh=0.6)
+    out = post({"maps": pred[None, None]}, np.array([[160, 320, 1.0, 1.0]]))
+    assert len(out[0]["points"]) == 0
+
+
+def test_rescale_to_source_coords():
+    pred = _synthetic_map(rects=((40, 40, 140, 60),))
+    post = DBPostProcess(thresh=0.3, box_thresh=0.6, unclip_ratio=1.5)
+    # map is 160x320; source was 320x640 (ratio 0.5)
+    out = post({"maps": pred[None, None]},
+               np.array([[320, 640, 0.5, 0.5]]))
+    boxes = out[0]["points"]
+    assert len(boxes) == 1
+    center = np.mean(boxes[0], axis=0)
+    assert abs(center[0] - 180) < 6 and abs(center[1] - 100) < 6
+    assert boxes[0].dtype == np.int32
+
+
+def test_box_score_fast_masked_mean():
+    bitmap = np.zeros((50, 50), np.float32)
+    bitmap[10:20, 10:30] = 0.8
+    box = np.array([[10, 10], [29, 10], [29, 19], [10, 19]], np.float32)
+    score = box_score_fast(bitmap, box)
+    assert 0.75 <= score <= 0.85
+
+
+def test_rotated_text_region():
+    import cv2
+    pred = np.zeros((200, 300), np.float32)
+    quad = np.array([[50, 60], [200, 100], [190, 140], [40, 100]], np.int32)
+    cv2.fillPoly(pred, [quad], 0.85)
+    post = DBPostProcess(thresh=0.3, box_thresh=0.6, unclip_ratio=1.5)
+    out = post({"maps": pred[None, None]}, np.array([[200, 300, 1.0, 1.0]]))
+    boxes = out[0]["points"]
+    assert len(boxes) == 1
+    # detected box center close to quad centroid
+    c = np.mean(boxes[0], axis=0)
+    assert np.allclose(c, quad.mean(axis=0), atol=6)
+
+
+def test_poly_mode():
+    pred = _synthetic_map(rects=((20, 30, 160, 70),))
+    post = DBPostProcess(thresh=0.3, box_thresh=0.6, unclip_ratio=1.5,
+                         box_type="poly")
+    out = post({"maps": pred[None, None]}, np.array([[160, 320, 1.0, 1.0]]))
+    boxes = out[0]["points"]
+    assert len(boxes) == 1
+    assert len(boxes[0]) >= 4

@@ -1,0 +1,112 @@
+"""Device crop-warp kernel vs the reference cv2 chain."""
+import math
+
+import numpy as np
+import pytest
+
+from onnxocr_tpu.ops import warp
+
+
+def _reference_chain(img, points, out_h, bucket_w, rotate180=False):
+    """cv2 replication of get_rotate_crop_image + rec resize_norm_img
+    (onnxocr/utils.py:12-53 + predict_rec.py:54-80)."""
+    import cv2
+    points = points.astype(np.float32)
+    w = int(max(np.linalg.norm(points[0] - points[1]),
+                np.linalg.norm(points[2] - points[3])))
+    h = int(max(np.linalg.norm(points[0] - points[3]),
+                np.linalg.norm(points[1] - points[2])))
+    pts_std = np.float32([[0, 0], [w, 0], [w, h], [0, h]])
+    M = cv2.getPerspectiveTransform(points, pts_std)
+    dst = cv2.warpPerspective(img, M, (w, h),
+                              borderMode=cv2.BORDER_REPLICATE,
+                              flags=cv2.INTER_CUBIC)
+    if dst.shape[0] / dst.shape[1] >= 1.5:
+        dst = np.rot90(dst)
+    if rotate180:
+        dst = cv2.rotate(dst, 1)
+    hh, ww = dst.shape[:2]
+    resized_w = bucket_w if math.ceil(out_h * ww / hh) > bucket_w \
+        else int(math.ceil(out_h * ww / hh))
+    r = cv2.resize(dst, (resized_w, out_h)).astype(np.float32)
+    r = (r / 255.0 - 0.5) / 0.5
+    out = np.zeros((out_h, bucket_w, 3), np.float32)
+    out[:, :resized_w] = r
+    return out, resized_w
+
+
+BOXES = [
+    np.array([[50, 50], [250, 60], [248, 110], [48, 100]], np.float32),
+    np.array([[300, 100], [340, 105], [330, 300], [290, 295]], np.float32),
+    np.array([[100, 200], [400, 210], [398, 260], [98, 250]], np.float32),
+]
+
+
+@pytest.fixture(scope="module")
+def img():
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:400, 0:600]
+    smooth = np.stack([xx % 256, yy % 256, (xx + yy) // 4 % 256], -1)
+    noise = rng.integers(0, 30, smooth.shape)
+    return np.clip(smooth + noise, 0, 255).astype(np.uint8)
+
+
+def test_perspective_transform_matches_cv2():
+    cv2 = pytest.importorskip("cv2")
+    src = np.float32([[50, 50], [250, 60], [248, 110], [48, 100]])
+    dst = np.float32([[0, 0], [200, 0], [200, 55], [0, 55]])
+    M_cv = cv2.getPerspectiveTransform(src, dst)
+    M_my = warp.perspective_transform(src, dst)
+    np.testing.assert_allclose(M_cv, M_my, atol=1e-9)
+
+
+@pytest.mark.parametrize("rotate180", [False, True])
+def test_warp_crops_parity(img, rotate180):
+    pytest.importorskip("cv2")
+    mats, vws, refs = [], [], []
+    for b in BOXES:
+        M, vw = warp.build_crop_matrix(b, 48, 320, rotate180=rotate180)
+        ref, vw_ref = _reference_chain(img, b, 48, 320, rotate180=rotate180)
+        assert vw == vw_ref
+        mats.append(M)
+        vws.append(vw)
+        refs.append(ref)
+    out = np.asarray(warp.warp_crops(
+        img, np.stack(mats), np.array(vws, np.int32), 48, 320, "bicubic"))
+    err = np.abs(out - np.stack(refs))
+    # Single-resample composition vs the reference's double resample:
+    # tolerance covers interpolation-chain differences only.
+    assert err.mean() < 0.02
+    assert np.percentile(err, 99) < 0.2
+
+
+def test_warp_identity(img):
+    h, w = img.shape[:2]
+    box = np.float32([[0, 0], [w, 0], [w, h], [0, h]])
+    M, vw = warp.build_crop_matrix(box, h, w)
+    out = np.asarray(warp.warp_crops(img, M[None], np.array([vw], np.int32),
+                                     h, w, "bilinear"))[0]
+    ref = (img.astype(np.float32) / 255.0 - 0.5) / 0.5
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_warp_pad_region_zeroed(img):
+    box = np.float32([[50, 50], [150, 50], [150, 98], [50, 98]])
+    M, vw = warp.build_crop_matrix(box, 48, 320)
+    assert vw < 320
+    out = np.asarray(warp.warp_crops(img, M[None], np.array([vw], np.int32),
+                                     48, 320, "bilinear"))[0]
+    assert np.all(out[:, vw:] == 0.0)
+
+
+def test_host_warp_matches_device(img):
+    mats, vws = [], []
+    for b in BOXES:
+        M, vw = warp.build_crop_matrix(b, 48, 320)
+        mats.append(M)
+        vws.append(vw)
+    dev = np.asarray(warp.warp_crops(img, np.stack(mats),
+                                     np.array(vws, np.int32), 48, 320,
+                                     "bicubic"))
+    host = warp.warp_crops_host(img, np.stack(mats), np.array(vws), 48, 320)
+    assert np.abs(dev - host).mean() < 0.03
