@@ -1,0 +1,128 @@
+"""Engine manager: model pool, concurrency gate, warmup, model registry.
+
+Reference: app/engine.py:19-178. One process owns the TPU; requests pass an
+asyncio.Semaphore then run in a thread executor (the jitted device calls
+release the GIL during execution, so host pre/post of concurrent requests
+overlaps device compute).
+
+Model registry quirks preserved (SURVEY.md §7): PP-OCRv4 decodes with the
+PP-OCRv5 dict (app/engine.py:69-74 passes no rec_char_dict_path override),
+ch_ppocr_server_v2.0 ships det/cls only + the v1 keys dict.
+"""
+from __future__ import annotations
+
+import asyncio
+import threading
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .settings import settings
+from .. import config as cfg_mod
+
+MODEL_REGISTRY = {
+    "PP-OCRv5": {
+        "det_model_dir": "ppocrv5/det/det.onnx",
+        "rec_model_dir": "ppocrv5/rec/rec.onnx",
+        "cls_model_dir": "ppocrv5/cls/cls.onnx",
+        "rec_char_dict_path": "ppocrv5/ppocrv5_dict.txt",
+    },
+    "PP-OCRv4": {
+        # quirk: no rec_char_dict_path override → decodes with the v5 dict
+        "det_model_dir": "ppocrv4/det/det.onnx",
+        "rec_model_dir": "ppocrv4/rec/rec.onnx",
+        "cls_model_dir": "ppocrv4/cls/cls.onnx",
+    },
+    "ch_ppocr_server_v2.0": {
+        "det_model_dir": "ch_ppocr_server_v2.0/det/det.onnx",
+        "cls_model_dir": "ch_ppocr_server_v2.0/cls/cls.onnx",
+        "rec_char_dict_path": "ch_ppocr_server_v2.0/ppocr_keys_v1.txt",
+    },
+}
+
+
+class EngineManager:
+    def __init__(self, pool_size: Optional[int] = None,
+                 concurrency: Optional[int] = None,
+                 default_model: Optional[str] = None):
+        self.pool_size = pool_size or settings.MODEL_POOL_SIZE
+        self.concurrency = concurrency or settings.MODEL_CONCURRENCY
+        self.default_model = default_model or settings.DEFAULT_MODEL
+        self._models: Dict[str, object] = {}
+        self._semaphore = asyncio.Semaphore(self.concurrency)
+        self._lock = threading.Lock()
+        self._ready = False
+
+    def _get_model_kwargs(self, model_name: str) -> dict:
+        kwargs = {"use_angle_cls": True, "use_gpu": settings.USE_GPU}
+        reg = MODEL_REGISTRY.get(model_name, {})
+        for key, rel in reg.items():
+            kwargs[key] = cfg_mod.find_asset(rel)
+        return kwargs
+
+    def get_model(self, model_name: Optional[str] = None):
+        from ..pipeline.api import ONNXPaddleOcr
+        model_name = model_name or self.default_model
+        with self._lock:
+            if model_name not in self._models:
+                kwargs = self._get_model_kwargs(model_name)
+                self._models[model_name] = ONNXPaddleOcr(**kwargs)
+            return self._models[model_name]
+
+    async def run_ocr(self, img: np.ndarray,
+                      model_name: Optional[str] = None,
+                      conf_threshold: Optional[float] = None
+                      ) -> Tuple[float, List[List]]:
+        async with self._semaphore:
+            loop = asyncio.get_event_loop()
+            return await loop.run_in_executor(
+                None, self._sync_ocr, img, model_name, conf_threshold)
+
+    def _sync_ocr(self, img, model_name=None, conf_threshold=None):
+        model = self.get_model(model_name)
+        start = time.time()
+        result = model.ocr(img)
+        processing_time = time.time() - start
+        # conf_threshold is a POST filter on top of drop_score
+        # (app/engine.py:138-145, quirk #10)
+        if conf_threshold is not None and result and result[0]:
+            filtered = []
+            for line in result[0]:
+                if len(line) >= 2 and len(line[1]) >= 2:
+                    if float(line[1][1]) >= conf_threshold:
+                        filtered.append(line)
+            result = [filtered]
+        return processing_time, result
+
+    def warmup(self):
+        """OCR a 64x64 black image; readiness flips only on success
+        (app/engine.py:149-163, quirk #13)."""
+        if not settings.WARMUP:
+            return
+        try:
+            test_img = np.zeros((64, 64, 3), dtype=np.uint8)
+            model = self.get_model(self.default_model)
+            model.ocr(test_img)
+            self._ready = True
+        except Exception:
+            self._ready = False
+
+    @property
+    def ready(self) -> bool:
+        return self._ready
+
+
+_engine_manager: Optional[EngineManager] = None
+
+
+def get_engine_manager() -> EngineManager:
+    global _engine_manager
+    if _engine_manager is None:
+        _engine_manager = EngineManager()
+    return _engine_manager
+
+
+def reset_engine_manager():
+    global _engine_manager
+    _engine_manager = None

@@ -1,0 +1,58 @@
+"""DBNet detector training: shrink-map BCE + dice loss.
+
+Simplified DB objective (arXiv:1911.08947 §3.4, binarize branch only — the
+inference pipeline consumes only the shrink-prob map): balanced BCE with
+3:1 negative-hard mining approximated by top-k weighting, plus dice loss.
+Targets are shrunk text-region masks (train/synth.py renders them).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import dbnet
+
+
+def db_loss_fn(params, images, shrink_maps, shrink_masks, dtype=jnp.float32):
+    """images (B,H,W,3) ImageNet-normalized; shrink_maps (B,H,W) ∈ {0,1};
+    shrink_masks (B,H,W) valid-pixel mask."""
+    probs = dbnet.apply(params, images.astype(dtype)).astype(jnp.float32)
+    eps = 1e-6
+    probs = jnp.clip(probs, eps, 1 - eps)
+    bce = -(shrink_maps * jnp.log(probs) +
+            (1 - shrink_maps) * jnp.log(1 - probs))
+    pos = shrink_maps * shrink_masks
+    neg = (1 - shrink_maps) * shrink_masks
+    n_pos = jnp.maximum(pos.sum(), 1.0)
+    # negative weighting: keep loss balance ~3:1 without dynamic top-k
+    # (data-dependent shapes don't jit); weight negatives by their loss.
+    neg_w = neg * bce
+    neg_w = neg_w / jnp.maximum(neg_w.sum(), eps) * (3.0 * n_pos)
+    bce_loss = (bce * pos).sum() / n_pos + \
+        (bce * neg_w).sum() / jnp.maximum(3.0 * n_pos, 1.0) * 3.0
+    inter = (probs * pos).sum()
+    union = (probs * shrink_masks).sum() + pos.sum() + eps
+    dice = 1.0 - 2.0 * inter / union
+    return bce_loss + dice
+
+
+def make_train_step(optimizer: optax.GradientTransformation,
+                    dtype=jnp.float32):
+    @jax.jit
+    def step(params, opt_state, images, shrink_maps, shrink_masks):
+        loss, grads = jax.value_and_grad(db_loss_fn)(
+            params, images, shrink_maps, shrink_masks, dtype)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+    return step
+
+
+def init_training(rng, lr: float = 1e-3):
+    params = dbnet.init(rng)
+    optimizer = optax.adamw(lr, weight_decay=1e-5)
+    opt_state = optimizer.init(params)
+    return params, optimizer, opt_state

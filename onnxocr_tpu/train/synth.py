@@ -1,0 +1,174 @@
+"""Synthetic OCR training data: rendered text lines and composed pages.
+
+The reference snapshot ships no det/rec weights (.MISSING_LARGE_BLOBS), so
+this module provides a self-contained way to train the native DBNet + SVTR
+models to real functionality: PIL-rendered text with random fonts, scales,
+colors, perspective jitter, and noise. Charset is the intersection of the
+PP-OCRv5 dictionary with what the available fonts can render (latin, digits,
+punctuation in this image — DejaVu has no CJK glyphs).
+"""
+from __future__ import annotations
+
+import math
+import string
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+FONTS = [
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+]
+
+DEFAULT_CHARSET = string.ascii_letters + string.digits + \
+    " .,:;!?%()+-*/='\"&@#$"
+
+
+class TextRenderer:
+    def __init__(self, charset: str = DEFAULT_CHARSET,
+                 char_to_idx: Optional[Dict[str, int]] = None,
+                 seed: int = 0):
+        from PIL import ImageFont
+        self.charset = [c for c in charset
+                        if char_to_idx is None or c in char_to_idx]
+        self.char_to_idx = char_to_idx
+        self.rng = np.random.default_rng(seed)
+        self._fonts = {}
+        for path in FONTS:
+            for size in (20, 26, 32, 38, 44):
+                try:
+                    self._fonts[(path, size)] = ImageFont.truetype(path, size)
+                except OSError:
+                    pass
+        assert self._fonts, "no usable fonts"
+
+    def random_text(self, max_len: int = 18) -> str:
+        n = int(self.rng.integers(1, max_len + 1))
+        chars = self.rng.choice(list(self.charset), size=n)
+        return "".join(chars).strip() or "a"
+
+    def render_line(self, text: str, height: int = 48,
+                    max_width: int = 320) -> np.ndarray:
+        """Render one text line into a (height, w<=max_width, 3) BGR uint8
+        image with random colors/contrast/noise."""
+        from PIL import Image, ImageDraw
+        rng = self.rng
+        key = list(self._fonts)[int(rng.integers(len(self._fonts)))]
+        font = self._fonts[key]
+        # measure
+        tmp = Image.new("L", (8, 8))
+        d = ImageDraw.Draw(tmp)
+        bbox = d.textbbox((0, 0), text, font=font)
+        tw = max(bbox[2] - bbox[0], 4)
+        th = max(bbox[3] - bbox[1], 4)
+        pad = int(rng.integers(2, 10))
+        W, H = tw + 2 * pad, th + 2 * pad
+        bg = int(rng.integers(120, 256))
+        fg = int(rng.integers(0, max(1, bg - 70)))
+        if rng.random() < 0.15:  # inverted text
+            bg, fg = fg, bg
+        img = Image.new("L", (W, H), bg)
+        d = ImageDraw.Draw(img)
+        d.text((pad - bbox[0], pad - bbox[1]), text, fill=fg, font=font)
+        arr = np.asarray(img, dtype=np.float32)
+        # noise + slight blur-ish jitter
+        arr = arr + rng.normal(0, rng.uniform(1, 8), arr.shape)
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
+        import cv2
+        scale = height / H
+        w = max(8, min(max_width, int(W * scale)))
+        arr = cv2.resize(arr, (w, height))
+        if rng.random() < 0.3:
+            k = int(rng.integers(1, 3)) * 2 + 1
+            arr = cv2.GaussianBlur(arr, (k, k), 0)
+        bgr = np.stack([arr] * 3, axis=-1)
+        # random mild color cast
+        cast = rng.uniform(0.85, 1.15, size=3)
+        bgr = np.clip(bgr * cast, 0, 255).astype(np.uint8)
+        return bgr
+
+    def encode(self, text: str) -> List[int]:
+        assert self.char_to_idx is not None
+        return [self.char_to_idx[c] for c in text if c in self.char_to_idx]
+
+    # ----------------------------------------------------------- rec batches
+    def rec_batch(self, batch: int, width: int = 320, max_len: int = 16
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """→ (images (B,48,width,3) float in [-1,1], labels (B,L) int32,
+        label_paddings (B,L) float32)."""
+        imgs = np.zeros((batch, 48, width, 3), np.float32)
+        texts = []
+        for i in range(batch):
+            t = self.random_text(max_len)
+            line = self.render_line(t, 48, width)
+            w = line.shape[1]
+            imgs[i, :, :w] = (line.astype(np.float32) / 255.0 - 0.5) / 0.5
+            texts.append(t)
+        L = max(max(len(self.encode(t)) for t in texts), 1)
+        labels = np.zeros((batch, L), np.int32)
+        pads = np.ones((batch, L), np.float32)
+        for i, t in enumerate(texts):
+            enc = self.encode(t)
+            labels[i, :len(enc)] = enc
+            pads[i, :len(enc)] = 0.0
+        return imgs, labels, pads
+
+    # ----------------------------------------------------------- det pages
+    def det_page(self, size: int = 320, max_lines: int = 8, shrink: float = 0.4
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Compose a page of text lines. → (image (S,S,3) uint8 BGR,
+        shrink_map (S,S) float, mask (S,S) float)."""
+        import cv2
+        rng = self.rng
+        bg = int(rng.integers(150, 256))
+        page = np.full((size, size, 3), bg, np.uint8)
+        page = np.clip(page.astype(np.float32) +
+                       rng.normal(0, 4, page.shape), 0, 255).astype(np.uint8)
+        shrink_map = np.zeros((size, size), np.float32)
+        n_lines = int(rng.integers(2, max_lines + 1))
+        for _ in range(n_lines):
+            text = self.random_text(12)
+            h = int(rng.integers(14, 40))
+            line = self.render_line(text, h, size - 8)
+            lh, lw = line.shape[:2]
+            for _try in range(10):
+                x0 = int(rng.integers(0, size - lw)) if size > lw else 0
+                y0 = int(rng.integers(0, size - lh)) if size > lh else 0
+                region = shrink_map[y0:y0 + lh, x0:x0 + lw]
+                if region.sum() == 0:
+                    page[y0:y0 + lh, x0:x0 + lw] = line
+                    # shrunk box (DB-style: offset inward by area*r/perimeter)
+                    d = (lw * lh) * shrink ** 2 / (2 * (lw + lh))
+                    di = max(1, int(d))
+                    sx0, sy0 = x0 + di, y0 + di
+                    sx1, sy1 = x0 + lw - di, y0 + lh - di
+                    if sx1 > sx0 and sy1 > sy0:
+                        shrink_map[sy0:sy1, sx0:sx1] = 1.0
+                    break
+        mask = np.ones((size, size), np.float32)
+        return page, shrink_map, mask
+
+    def det_batch(self, batch: int, size: int = 320):
+        from ..ops import det_pre
+        imgs = np.zeros((batch, size, size, 3), np.float32)
+        maps = np.zeros((batch, size, size), np.float32)
+        masks = np.zeros((batch, size, size), np.float32)
+        for i in range(batch):
+            page, smap, mask = self.det_page(size)
+            imgs[i] = (page.astype(np.float32) / 255.0 -
+                       det_pre.IMAGENET_MEAN) / det_pre.IMAGENET_STD
+            maps[i] = smap
+            masks[i] = mask
+        return imgs, maps, masks
+
+
+def charset_from_dict(dict_path: str, charset: str = DEFAULT_CHARSET
+                      ) -> Dict[str, int]:
+    """Map renderable chars → PP-OCRv5 dict indices (blank-first scheme,
+    matching ops/ctc.CTCLabelDecode)."""
+    from ..ops.ctc import CTCLabelDecode
+    dec = CTCLabelDecode(dict_path, use_space_char=True)
+    lookup = {c: i for i, c in enumerate(dec.character)}
+    return {c: lookup[c] for c in charset if c in lookup}

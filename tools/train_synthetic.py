@@ -1,0 +1,126 @@
+"""Train the native det/rec models on synthetic rendered text and save
+checkpoints into onnxocr_tpu/assets/ so the pipeline runs with real
+(functional) weights despite the reference snapshot's missing .onnx blobs.
+
+Usage:
+  python tools/train_synthetic.py rec --steps 3000 --batch 64
+  python tools/train_synthetic.py det --steps 1500 --batch 8
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def asset_dir(*parts):
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "onnxocr_tpu", "assets")
+    return os.path.join(root, *parts)
+
+
+def train_rec(steps: int, batch: int, width: int, lr: float, out: str):
+    from onnxocr_tpu import config as cfg
+    from onnxocr_tpu.train import synth, rec_trainer
+    from onnxocr_tpu.models import svtr
+    from onnxocr_tpu.ops.ctc import CTCLabelDecode
+    from onnxocr_tpu.utils import params_io
+
+    dict_path = cfg.find_asset("ppocrv5/ppocrv5_dict.txt")
+    dec = CTCLabelDecode(dict_path, use_space_char=True)
+    vocab = len(dec.character)
+    c2i = synth.charset_from_dict(dict_path)
+    print(f"vocab={vocab} renderable charset={len(c2i)}")
+    renderer = synth.TextRenderer(char_to_idx=c2i, seed=0)
+
+    rng = jax.random.PRNGKey(0)
+    params = svtr.init(rng, vocab)
+    warmup = min(100, max(1, steps // 10))
+    schedule = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, max(steps, warmup + 1), lr * 0.05)
+    optimizer = optax.adamw(schedule, weight_decay=1e-5)
+    opt_state = optimizer.init(params)
+    step_fn = rec_trainer.make_train_step(optimizer)
+
+    # fixed label length so one compiled program serves all steps
+    max_len = 14
+    t0 = time.time()
+    for step in range(steps):
+        imgs, labels, pads = renderer.rec_batch(batch, width, max_len)
+        if labels.shape[1] < max_len:
+            pad_n = max_len - labels.shape[1]
+            labels = np.pad(labels, ((0, 0), (0, pad_n)))
+            pads = np.pad(pads, ((0, 0), (0, pad_n)), constant_values=1.0)
+        labels = labels[:, :max_len]
+        pads = pads[:, :max_len]
+        params, opt_state, loss = step_fn(params, opt_state, imgs, labels,
+                                          pads)
+        if step % 50 == 0 or step == steps - 1:
+            print(f"rec step {step} loss {float(loss):.4f} "
+                  f"({time.time()-t0:.1f}s)", flush=True)
+    params_io.save_tree(out, params)
+    print("saved", out)
+
+    # quick eval: greedy-decode a fresh batch
+    from onnxocr_tpu.ops import ctc as ctc_ops
+    imgs, labels, pads = renderer.rec_batch(8, width, max_len)
+    idx, prob = ctc_ops.ctc_reduce_logits(
+        jax.jit(svtr.apply)(params, imgs).astype(jnp.float32))
+    res = dec.decode_indices(np.asarray(idx), np.asarray(prob),
+                             is_remove_duplicate=True)
+    for i, (text, score) in enumerate(res):
+        truth = "".join(dec.character[j] for j, p in
+                        zip(labels[i], pads[i]) if p == 0.0)
+        print(f"  pred={text!r} truth={truth!r} score={score:.2f}")
+
+
+def train_det(steps: int, batch: int, size: int, lr: float, out: str):
+    from onnxocr_tpu import config as cfg
+    from onnxocr_tpu.train import synth, det_trainer
+    from onnxocr_tpu.utils import params_io
+
+    dict_path = cfg.find_asset("ppocrv5/ppocrv5_dict.txt")
+    c2i = synth.charset_from_dict(dict_path)
+    renderer = synth.TextRenderer(char_to_idx=c2i, seed=1)
+
+    rng = jax.random.PRNGKey(0)
+    params, optimizer, opt_state = det_trainer.init_training(rng, lr)
+    warmup = min(100, max(1, steps // 10))
+    schedule = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, max(steps, warmup + 1), lr * 0.05)
+    optimizer = optax.adamw(schedule, weight_decay=1e-5)
+    opt_state = optimizer.init(params)
+    step_fn = det_trainer.make_train_step(optimizer)
+
+    t0 = time.time()
+    for step in range(steps):
+        imgs, maps, masks = renderer.det_batch(batch, size)
+        params, opt_state, loss = step_fn(params, opt_state, imgs, maps,
+                                          masks)
+        if step % 25 == 0 or step == steps - 1:
+            print(f"det step {step} loss {float(loss):.4f} "
+                  f"({time.time()-t0:.1f}s)", flush=True)
+    params_io.save_tree(out, params)
+    print("saved", out)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("which", choices=["rec", "det"])
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--size", type=int, default=320)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+    if args.which == "rec":
+        out = args.out or asset_dir("ppocrv5", "rec", "native_params.npz")
+        train_rec(args.steps, args.batch, args.width, args.lr, out)
+    else:
+        out = args.out or asset_dir("ppocrv5", "det", "native_params.npz")
+        train_det(args.steps, args.batch, args.size, args.lr, out)
