@@ -72,7 +72,10 @@ def main():
     images = [cv2.imread(p) for p in paths]
     images = [im for im in images if im is not None]
 
-    model = ONNXPaddleOcr(use_angle_cls=True, use_gpu=False)
+    # drop_score=0 so result counts reflect detected boxes even while rec
+    # weights are untrained (random-weight scores are ~0.001 and would all
+    # be filtered, hiding the real cls/rec work done).
+    model = ONNXPaddleOcr(use_angle_cls=True, use_gpu=False, drop_score=0.0)
 
     det_path = model.args.det_model_dir
     rec_path = model.args.rec_model_dir

@@ -18,7 +18,7 @@ from . import mobilenetv3 as mbv3
 
 
 def init(rng, num_classes: int = 2, dtype=jnp.float32) -> Dict[str, Any]:
-    r1, r2 = jax.random.split(rng)
+    r1, r2 = cm.split_rng(rng, 2)
     backbone = mbv3.init(r1, "small", 0.35, dtype=dtype)
     last_ch = backbone["last"]["conv"]["w"].shape[-1]
     return {"backbone": backbone,

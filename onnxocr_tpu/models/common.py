@@ -50,23 +50,46 @@ ACTS = {
 
 
 # ------------------------------------------------------------------ init
+# Initialization runs entirely on HOST numpy: no per-layer jit compiles or
+# device round-trips (a MobileNetV3 init would otherwise dispatch ~100 tiny
+# XLA programs). Leaves are numpy arrays; they move to HBM on first jitted
+# use (or via jax.device_put placement in parallel/mesh.py).
+def as_rng(rng) -> np.random.Generator:
+    """Accept an int seed, numpy Generator, or jax PRNGKey."""
+    if isinstance(rng, np.random.Generator):
+        return rng
+    if isinstance(rng, (int, np.integer)):
+        return np.random.default_rng(int(rng))
+    # jax PRNGKey (old-style uint32 array or new-style key array)
+    try:
+        data = np.asarray(jax.random.key_data(rng))
+    except Exception:
+        data = np.asarray(rng)
+    return np.random.default_rng(int(data.reshape(-1)[-1]))
+
+
+def split_rng(rng, n: int):
+    return as_rng(rng).spawn(n)
+
+
 def conv_init(rng, k: int, cin: int, cout: int, groups: int = 1,
               bias: bool = False, dtype=jnp.float32) -> Params:
     fan_in = k * k * cin // groups
     std = math.sqrt(2.0 / fan_in)
-    w = jax.random.normal(rng, (k, k, cin // groups, cout), dtype) * std
+    w = (as_rng(rng).normal(0.0, std, (k, k, cin // groups, cout))
+         .astype(dtype))
     p: Params = {"w": w}
     if bias:
-        p["b"] = jnp.zeros((cout,), dtype)
+        p["b"] = np.zeros((cout,), dtype)
     return p
 
 
 def bn_init(c: int, dtype=jnp.float32) -> Params:
     return {
-        "scale": jnp.ones((c,), dtype),
-        "bias": jnp.zeros((c,), dtype),
-        "mean": jnp.zeros((c,), dtype),
-        "var": jnp.ones((c,), dtype),
+        "scale": np.ones((c,), dtype),
+        "bias": np.zeros((c,), dtype),
+        "mean": np.zeros((c,), dtype),
+        "var": np.ones((c,), dtype),
     }
 
 
@@ -131,7 +154,7 @@ def se_module(x, p: Params, alpha: float = 0.2):
 def se_init(rng, c: int, mid: Optional[int] = None, dtype=jnp.float32) -> Params:
     if mid is None:
         mid = c // 4
-    r1, r2 = jax.random.split(rng)
+    r1, r2 = split_rng(rng, 2)
     return {"reduce": conv_init(r1, 1, c, mid, bias=True, dtype=dtype),
             "expand": conv_init(r2, 1, mid, c, bias=True, dtype=dtype)}
 
@@ -151,8 +174,8 @@ def avg_pool(x, k=(2, 2), stride=(2, 2)):
 
 def linear_init(rng, cin: int, cout: int, dtype=jnp.float32) -> Params:
     std = math.sqrt(1.0 / cin)
-    return {"w": jax.random.normal(rng, (cin, cout), dtype) * std,
-            "b": jnp.zeros((cout,), dtype)}
+    return {"w": as_rng(rng).normal(0.0, std, (cin, cout)).astype(dtype),
+            "b": np.zeros((cout,), dtype)}
 
 
 def linear(x, p: Params):

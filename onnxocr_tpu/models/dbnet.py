@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -32,7 +33,7 @@ _TAPS = (3, 6, 12)
 
 def init(rng, scale: float = 0.5, inner: int = 96, out: int = 24,
          dtype=jnp.float32) -> Dict[str, Any]:
-    keys = jax.random.split(rng, 16)
+    keys = cm.split_rng(rng, 16)
     backbone = mbv3.init(keys[0], "large", scale, dtype=dtype)
     cfg = mbv3.scaled_cfg(mbv3.LARGE_CFG, scale)
     tap_chs = [cfg[i - 1][2] for i in _TAPS]  # channels entering each tap
@@ -47,13 +48,11 @@ def init(rng, scale: float = 0.5, inner: int = 96, out: int = 24,
     # binarize head: conv3x3 → BN+relu → convT(2x) → BN+relu → convT(2x) → σ
     p["head"] = {
         "conv": cm.convbn_init(keys[11], 3, out * 4, out, dtype=dtype),
-        "up1": {"w": jax.random.normal(keys[12], (2, 2, out, out), dtype)
-                * 0.1,
-                "b": jnp.zeros((out,), dtype)},
+        "up1": {"w": cm.as_rng(keys[12]).normal(0, 0.1, (2, 2, out, out)).astype(dtype),
+                "b": np.zeros((out,), dtype)},
         "bn1": cm.bn_init(out, dtype),
-        "up2": {"w": jax.random.normal(keys[13], (2, 2, out, 1), dtype)
-                * 0.1,
-                "b": jnp.zeros((1,), dtype)},
+        "up2": {"w": cm.as_rng(keys[13]).normal(0, 0.1, (2, 2, out, 1)).astype(dtype),
+                "b": np.zeros((1,), dtype)},
     }
     return p
 

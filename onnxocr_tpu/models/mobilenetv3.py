@@ -64,7 +64,7 @@ def init(rng, cfg_name: str = "small", scale: float = 0.35,
          in_ch: int = 3, dtype=jnp.float32) -> Dict[str, Any]:
     cfg = scaled_cfg(SMALL_CFG if cfg_name == "small" else LARGE_CFG, scale)
     stem_ch = cm.make_divisible(16 * scale)
-    keys = jax.random.split(rng, 4 * len(cfg) + 2)
+    keys = cm.split_rng(rng, 4 * len(cfg) + 2)
     ki = iter(range(len(keys)))
     params: Dict[str, Any] = {
         "stem": cm.convbn_init(keys[next(ki)], 3, in_ch, stem_ch, dtype=dtype),

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -40,7 +41,7 @@ _MLP_RATIO = 2
 
 
 def init(rng, vocab_size: int, dtype=jnp.float32) -> Dict[str, Any]:
-    keys = jax.random.split(rng, 8 + 2 * len(_STAGES) + 6 * _MIXER_DEPTH)
+    keys = cm.split_rng(rng, 8 + 2 * len(_STAGES) + 6 * _MIXER_DEPTH)
     ki = iter(range(len(keys)))
     p: Dict[str, Any] = {
         "stem": cm.convbn_init(keys[next(ki)], 3, 3, 32, dtype=dtype),
@@ -60,14 +61,14 @@ def init(rng, vocab_size: int, dtype=jnp.float32) -> Dict[str, Any]:
     p["mixer"] = []
     for _ in range(_MIXER_DEPTH):
         blk = {
-            "ln1": {"scale": jnp.ones((_MIXER_DIM,), dtype),
-                    "bias": jnp.zeros((_MIXER_DIM,), dtype)},
+            "ln1": {"scale": np.ones((_MIXER_DIM,), dtype),
+                    "bias": np.zeros((_MIXER_DIM,), dtype)},
             "qkv": cm.linear_init(keys[next(ki)], _MIXER_DIM,
                                   3 * _MIXER_DIM, dtype=dtype),
             "proj": cm.linear_init(keys[next(ki)], _MIXER_DIM, _MIXER_DIM,
                                    dtype=dtype),
-            "ln2": {"scale": jnp.ones((_MIXER_DIM,), dtype),
-                    "bias": jnp.zeros((_MIXER_DIM,), dtype)},
+            "ln2": {"scale": np.ones((_MIXER_DIM,), dtype),
+                    "bias": np.zeros((_MIXER_DIM,), dtype)},
             "fc1": cm.linear_init(keys[next(ki)], _MIXER_DIM,
                                   _MLP_RATIO * _MIXER_DIM, dtype=dtype),
             "fc2": cm.linear_init(keys[next(ki)], _MLP_RATIO * _MIXER_DIM,

@@ -195,7 +195,7 @@ def resolve_backend(kind: str, model_path: str, requested: str,
         params = _load_native_params(model_path)
     if params is None:
         if requested == "native" or not have_file:
-            rng = jax.random.PRNGKey(0)
+            rng = 0  # host-side init seed
             if kind == "det":
                 params = dbnet.init(rng)
             elif kind == "cls":
