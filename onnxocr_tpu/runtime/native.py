@@ -25,11 +25,31 @@ _CANDIDATES = [
 ]
 
 
+def _try_build() -> None:
+    """Best-effort build of libocrhost.so from the bundled sources (g++ is
+    part of the toolchain; see tools/build_native.py for the manual path)."""
+    import subprocess
+    src_dir = os.path.join(_HERE, "native")
+    srcs = [os.path.join(src_dir, f) for f in sorted(os.listdir(src_dir))
+            if f.endswith(".cc")]
+    if not srcs:
+        return
+    out = os.path.join(src_dir, "libocrhost.so")
+    try:
+        subprocess.run(["g++", "-std=c++17", "-shared", "-fPIC", "-O2",
+                        "-o", out, *srcs, "-lm"],
+                       check=True, capture_output=True, timeout=120)
+    except Exception:
+        pass
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
+    if not any(p and os.path.exists(p) for p in _CANDIDATES):
+        _try_build()
     for path in _CANDIDATES:
         if path and os.path.exists(path):
             try:

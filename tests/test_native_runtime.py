@@ -1,0 +1,83 @@
+"""C++ host-runtime library (libocrhost.so) vs cv2/numpy oracles."""
+import numpy as np
+import pytest
+
+from onnxocr_tpu.runtime import native
+from onnxocr_tpu.ops import geometry
+
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="libocrhost.so not built")
+
+
+def _rects_of(contours):
+    import cv2
+    out = []
+    for c in contours:
+        c = np.asarray(c).reshape(-1, 2).astype(np.float32)
+        r = cv2.minAreaRect(c)
+        out.append((round(r[0][0], 1), round(r[0][1], 1),
+                    round(r[1][0] * r[1][1], 1)))
+    return sorted(out)
+
+
+def test_contours_match_cv2_on_blobs():
+    import cv2
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        bm = np.zeros((60, 80), np.uint8)
+        for _b in range(4):
+            x, y = rng.integers(5, 60), rng.integers(5, 40)
+            w, h = rng.integers(3, 20), rng.integers(3, 15)
+            bm[y:y + h, x:x + w] = 255
+        bm[20:24, 20:24] = 0  # a hole
+        ref = cv2.findContours(bm, cv2.RETR_LIST,
+                               cv2.CHAIN_APPROX_SIMPLE)[0]
+        mine = native.find_contours(bm)
+        assert len(ref) == len(mine)
+        assert _rects_of([c.reshape(-1, 2) for c in ref]) == _rects_of(mine)
+
+
+def test_contours_rotated_component():
+    import cv2
+    bm = np.zeros((120, 160), np.uint8)
+    quad = np.array([[30, 40], [120, 60], [115, 85], [25, 65]], np.int32)
+    cv2.fillPoly(bm, [quad], 255)
+    ref = cv2.findContours(bm, cv2.RETR_LIST, cv2.CHAIN_APPROX_SIMPLE)[0]
+    mine = native.find_contours(bm)
+    assert len(mine) == len(ref) == 1
+    assert _rects_of([ref[0].reshape(-1, 2)]) == _rects_of(mine)
+
+
+def test_min_area_rect_matches_cv2():
+    import cv2
+    rng = np.random.default_rng(1)
+    for _ in range(100):
+        pts = rng.uniform(0, 150, (int(rng.integers(3, 16)), 2)) \
+            .astype(np.float32)
+        r_cv = cv2.minAreaRect(pts)
+        r_my = native.min_area_rect(pts)
+        a1 = r_cv[1][0] * r_cv[1][1]
+        a2 = r_my[1][0] * r_my[1][1]
+        assert abs(a1 - a2) < 1e-2 * max(a1, 1.0)
+
+
+def test_offset_polygon_matches_numpy():
+    box = np.array([[10, 10], [110, 10], [110, 40], [10, 40]], np.float64)
+    for d in (3.0, 17.3, 40.0):
+        o_np = geometry.offset_polygon_round(box, d)
+        o_cc = native.offset_polygon(box, d)
+        r1 = geometry.min_area_rect(o_np)
+        r2 = geometry.min_area_rect(o_cc)
+        assert np.allclose(sorted(r1[1]), sorted(r2[1]), atol=0.05)
+
+
+def test_db_postprocess_uses_native_path():
+    """End-to-end: DBPostProcess through the native contour tracer."""
+    from onnxocr_tpu.ops.db_post import DBPostProcess
+    pred = np.zeros((160, 320), np.float32)
+    pred[30:55, 20:120] = 0.9
+    pred[80:110, 40:300] = 0.9
+    post = DBPostProcess(thresh=0.3, box_thresh=0.6, unclip_ratio=1.5)
+    out = post({"maps": pred[None, None]}, np.array([[160, 320, 1.0, 1.0]]))
+    assert len(out[0]["points"]) == 2
