@@ -84,49 +84,49 @@ def main():
 
     if not real_weights:
         # Substitute the (untrained) det output with precomputed realistic
-        # text maps; forward still runs and is timed.
+        # text maps (keyed by image buffer identity, so the patch is
+        # thread-safe); the real det forward still runs and is timed.
         from onnxocr_tpu.ops import det_pre
         det = model.text_detector
         synth = {}
-        for i, im in enumerate(images):
+        for im in images:
             rh, rw = det_pre.det_resize_target(im.shape[0], im.shape[1],
                                                det.limit_side_len,
                                                det.limit_type)
-            synth[i] = synthetic_text_map(im, rh, rw)
+            synth[id(im)] = synthetic_text_map(im, rh, rw)
         orig_infer = det.infer_prob_map
-        state = {"i": 0}
 
         def patched(img):
             prob, shape_info = orig_infer(img)  # timed real forward
-            return synth[state["i"]], shape_info
+            return synth.get(id(img), prob), shape_info
 
         det.infer_prob_map = patched
 
-        def set_index(i):
-            state["i"] = i
-    else:
-        def set_index(i):
-            pass
-
     # Warmup: compile every bucket shape this corpus hits.
     box_counts = []
-    for i, im in enumerate(images):
-        set_index(i)
+    for im in images:
         res = model.ocr(im)
         box_counts.append(len(res[0]))
 
-    # Timed loop.
+    # Serial pass → per-image latency distribution.
+    lat = []
+    for im in images:
+        t0 = time.time()
+        model.ocr(im)
+        lat.append(time.time() - t0)
+
+    # Pipelined pass → throughput. One engine process owns the chip; worker
+    # threads overlap host pre/post of one image with device compute of the
+    # next (device dispatch releases the GIL).
+    import concurrent.futures
     rounds = 3
+    work = [im for _ in range(rounds) for im in images]
     t0 = time.time()
-    n = 0
-    for _ in range(rounds):
-        for i, im in enumerate(images):
-            set_index(i)
-            model.ocr(im)
-            n += 1
+    with concurrent.futures.ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(model.ocr, work))
     dt = time.time() - t0
 
-    ips = n / dt
+    ips = len(work) / dt
     out = {
         "metric": "e2e_images_per_sec",
         "value": round(ips, 3),
@@ -135,7 +135,8 @@ def main():
         "mode": mode,
         "images": len(images),
         "mean_boxes_per_image": round(float(np.mean(box_counts)), 1),
-        "p50_latency_ms": round(dt / n * 1000, 1),
+        "p50_latency_ms": round(float(np.median(lat)) * 1000, 1),
+        "serial_images_per_sec": round(1.0 / float(np.mean(lat)), 3),
     }
     print(json.dumps(out))
 

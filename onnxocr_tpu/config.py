@@ -167,6 +167,14 @@ DEFAULTS = {
     "tpu_dtype": "float32",
     # Interpolation for device crops: 'bilinear' | 'bicubic'.
     "tpu_warp_interp": "bicubic",
+    # Wire format of the det prob map download: 'uint8' quantizes to 1/255
+    # (box scores shift < 0.002 — the tunnel is the bottleneck, 4x fewer
+    # bytes), 'float16', or 'float32' for strict parity.
+    "tpu_det_map_dtype": "uint8",
+    # Fuse cls forward + rotation select + rec forward into ONE device call
+    # per width bucket (the 180° flip is applied by homography selection on
+    # device instead of a host round trip between cls and rec).
+    "tpu_fused_cls_rec": True,
 }
 
 

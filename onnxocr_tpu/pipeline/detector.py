@@ -24,6 +24,9 @@ class TextDetector:
         self.args = args
         self.limit_side_len = args.det_limit_side_len
         self.limit_type = args.det_limit_type
+        # fixed-shape resize mode (DetResizeForTest type1) when set
+        self.image_shape = getattr(args, "det_image_shape", None)
+        self.keep_ratio = getattr(args, "det_keep_ratio", False)
         self.bucket = int(getattr(args, "tpu_det_bucket", 320))
         self.postprocess_op = DBPostProcess(
             thresh=args.det_db_thresh,
@@ -39,7 +42,9 @@ class TextDetector:
         backend, path, params = backends.resolve_backend(
             "det", args.det_model_dir,
             getattr(args, "tpu_backend", "auto"), dtype=dtype)
-        self.forward = backends.DetForward(backend, path, params, dtype)
+        self.forward = backends.DetForward(
+            backend, path, params, dtype,
+            map_dtype=getattr(args, "tpu_det_map_dtype", "float32"))
 
     def order_points_clockwise(self, pts: np.ndarray) -> np.ndarray:
         return geometry.order_points_clockwise(pts)
@@ -81,9 +86,11 @@ class TextDetector:
         """Run the device forward; returns (prob_map (rh, rw) float32 numpy,
         shape_info). Exposed separately for bench/engine batching."""
         padded, shape_info, (rh, rw) = det_pre.prepare_det_input(
-            img, self.limit_side_len, self.limit_type, self.bucket)
+            img, self.limit_side_len, self.limit_type, self.bucket,
+            image_shape=self.image_shape, keep_ratio=self.keep_ratio)
         prob_padded = self.forward(padded)
-        prob = np.asarray(prob_padded)[:rh, :rw]
+        prob = backends.DetForward.decode_map(
+            np.asarray(prob_padded))[:rh, :rw]
         return prob, shape_info
 
     def __call__(self, img: np.ndarray) -> Optional[np.ndarray]:

@@ -159,3 +159,62 @@ class TextRecognizer:
             return crops, list(valid_arr)
 
         return self._run_batches(make_crops, desired)
+
+    def _desired_widths(self, boxes: np.ndarray) -> List[int]:
+        imgH = self.rec_image_shape[1]
+        min_w = int(self.rec_image_shape[2])
+        desired = []
+        for b in boxes:
+            cw, ch = warp_ops.crop_geometry(b)
+            cw = max(cw, 1)
+            ch = max(ch, 1)
+            if ch / cw >= 1.5:
+                cw, ch = ch, cw
+            desired.append(max(min_w, math.ceil(imgH * cw / ch)))
+        return desired
+
+    def run_boxes_fused(self, image_u8_dev, boxes: np.ndarray, fused,
+                        cls_shape, use_cls: bool = True
+                        ) -> List[Tuple[str, float]]:
+        """Single fused device call per width bucket: cls verdicts select the
+        180°-rotated homographies on device (pipeline/fused.py), eliminating
+        the cls→host→rec round trip."""
+        n = len(boxes)
+        if n == 0:
+            return []
+        imgH = self.rec_image_shape[1]
+        cls_h, cls_w = cls_shape
+        desired = self._desired_widths(boxes)
+        results: List[Tuple[str, float]] = [("", 0.0)] * n
+        groups = batching.group_by_bucket(desired, self.width_ladder)
+        max_batch = self.batch_ladder[-1]
+        eye = np.eye(3, dtype=np.float32)
+        for bucket_w, indices in groups.items():
+            for chunk in batching.chunks_of(indices, max_batch):
+                bsz = batching.pick_batch_bucket(len(chunk),
+                                                 self.batch_ladder)
+                rec_mats = np.tile(eye, (bsz, 1, 1))
+                rot_mats = np.tile(eye, (bsz, 1, 1))
+                cls_mats = np.tile(eye, (bsz, 1, 1))
+                rec_valid = np.zeros(bsz, np.int32)
+                cls_valid = np.zeros(bsz, np.int32)
+                for row, i in enumerate(chunk):
+                    rec_mats[row], rec_valid[row] = \
+                        warp_ops.build_crop_matrix(boxes[i], imgH, bucket_w)
+                    rot_mats[row], _ = warp_ops.build_crop_matrix(
+                        boxes[i], imgH, bucket_w, rotate180=True)
+                    cls_mats[row], cls_valid[row] = \
+                        warp_ops.build_crop_matrix(boxes[i], cls_h, cls_w)
+                idx, prob, _cls_probs, _rot = fused(
+                    image_u8_dev, cls_mats, cls_valid, rec_mats, rot_mats,
+                    rec_valid, imgH, bucket_w, use_cls=use_cls)
+                idx = np.asarray(idx)[: len(chunk)]
+                prob = np.asarray(prob)[: len(chunk)]
+                stride = bucket_w // idx.shape[1]
+                valid_t = [min(idx.shape[1], math.ceil(w / stride))
+                           for w in rec_valid[: len(chunk)]]
+                out = self.postprocess_op.decode_indices(
+                    idx, prob, is_remove_duplicate=True, valid_t=valid_t)
+                for i, res in zip(chunk, out):
+                    results[i] = res
+        return results

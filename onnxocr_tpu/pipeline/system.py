@@ -35,6 +35,27 @@ class TextSystem:
             self.text_classifier = classifier.TextClassifier(args)
         self.crop_backend = getattr(args, "tpu_crop_backend", "device")
         self.crop_image_res_index = 0
+        self._fused = None
+        if getattr(args, "tpu_fused_cls_rec", True) and \
+                self.crop_backend == "device":
+            from . import fused as fused_mod
+            from .. import config as cfg_mod
+            if self.use_angle_cls:
+                labels = self.text_classifier.label_list
+                idx180 = next((i for i, l in enumerate(labels)
+                               if "180" in str(l)), None)
+                cls_shape = cfg_mod.parse_shape(args.cls_image_shape)[1:]
+                self._fused = fused_mod.FusedClsRec(
+                    self.text_classifier.forward,
+                    self.text_recognizer.forward,
+                    cls_shape=cls_shape,
+                    cls_thresh=args.cls_thresh,
+                    idx180=idx180,
+                    interp=getattr(args, "tpu_warp_interp", "bicubic"))
+            else:
+                self._fused = fused_mod.FusedClsRec(
+                    None, self.text_recognizer.forward,
+                    interp=getattr(args, "tpu_warp_interp", "bicubic"))
 
     def draw_crop_rec_res(self, output_dir, img_crop_list, rec_res):
         import cv2
@@ -82,6 +103,14 @@ class TextSystem:
             crop_quads = np.stack([minarea_quad(np.asarray(b))
                                    for b in dt_boxes]).astype(np.float32)
         image_dev = jax.device_put(np.ascontiguousarray(img))
+        if self._fused is not None:
+            use_cls = bool(self.use_angle_cls and cls and
+                           self._fused.idx180 is not None)
+            cls_shape = (self._fused.cls_h, self._fused.cls_w)
+            rec_res = self.text_recognizer.run_boxes_fused(
+                image_dev, crop_quads, self._fused, cls_shape,
+                use_cls=use_cls)
+            return dt_boxes, rec_res
         rot180 = None
         if self.use_angle_cls and cls:
             rot180, _ = self.text_classifier.run_boxes(image_dev, crop_quads)
