@@ -90,7 +90,9 @@ class TextSystem:
         return dt_boxes, rec_res
 
     def _call_device_crops(self, img, cls: bool):
-        dt_boxes = self.text_detector(img)
+        from ..utils.profiling import GLOBAL as timer
+        with timer.stage("det"):
+            dt_boxes = self.text_detector(img)
         if dt_boxes is None:
             return None, None
         dt_boxes = sorted_boxes(dt_boxes)
@@ -102,20 +104,25 @@ class TextSystem:
         else:
             crop_quads = np.stack([minarea_quad(np.asarray(b))
                                    for b in dt_boxes]).astype(np.float32)
-        image_dev = jax.device_put(np.ascontiguousarray(img))
+        with timer.stage("img_upload"):
+            image_dev = jax.device_put(np.ascontiguousarray(img))
         if self._fused is not None:
             use_cls = bool(self.use_angle_cls and cls and
                            self._fused.idx180 is not None)
             cls_shape = (self._fused.cls_h, self._fused.cls_w)
-            rec_res = self.text_recognizer.run_boxes_fused(
-                image_dev, crop_quads, self._fused, cls_shape,
-                use_cls=use_cls)
+            with timer.stage("cls_rec_fused"):
+                rec_res = self.text_recognizer.run_boxes_fused(
+                    image_dev, crop_quads, self._fused, cls_shape,
+                    use_cls=use_cls)
             return dt_boxes, rec_res
         rot180 = None
         if self.use_angle_cls and cls:
-            rot180, _ = self.text_classifier.run_boxes(image_dev, crop_quads)
-        rec_res = self.text_recognizer.run_boxes(image_dev, crop_quads,
-                                                 rot180)
+            with timer.stage("cls"):
+                rot180, _ = self.text_classifier.run_boxes(image_dev,
+                                                           crop_quads)
+        with timer.stage("rec"):
+            rec_res = self.text_recognizer.run_boxes(image_dev, crop_quads,
+                                                     rot180)
         return dt_boxes, rec_res
 
     def __call__(self, img, cls: bool = True):

@@ -1,0 +1,79 @@
+"""Tracing / per-stage timing.
+
+The reference's only instrumentation is wall-clock deltas around model.ocr
+(app/engine.py:131-135, X-Process-Time in app/middleware.py:74) and inert
+--benchmark flags (utils.py:380-383). The TPU build adds:
+
+* StageTimer — cheap per-stage wall-clock aggregation (enabled per pipeline
+  via the `benchmark` flag or ONNXOCR_TPU_PROFILE=1), queryable as a dict.
+* trace(...) — context manager around jax.profiler for real device traces
+  (view in TensorBoard / xprof).
+"""
+from __future__ import annotations
+
+import contextlib
+import os
+import threading
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+
+class StageTimer:
+    """Thread-safe accumulator of stage wall times."""
+
+    def __init__(self, enabled: Optional[bool] = None):
+        if enabled is None:
+            enabled = os.environ.get("ONNXOCR_TPU_PROFILE", "") in (
+                "1", "true")
+        self.enabled = enabled
+        self._lock = threading.Lock()
+        self._total: Dict[str, float] = defaultdict(float)
+        self._count: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        if not self.enabled:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self._total[name] += dt
+                self._count[name] += 1
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        with self._lock:
+            return {
+                name: {
+                    "total_ms": round(self._total[name] * 1000, 2),
+                    "count": self._count[name],
+                    "mean_ms": round(
+                        self._total[name] / max(self._count[name], 1) * 1000,
+                        2),
+                }
+                for name in self._total
+            }
+
+    def reset(self):
+        with self._lock:
+            self._total.clear()
+            self._count.clear()
+
+
+# process-wide default timer (pipeline stages hook into this)
+GLOBAL = StageTimer()
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/onnxocr_tpu_trace"):
+    """Capture a jax.profiler device trace around a block."""
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
