@@ -32,13 +32,18 @@ _TAPS = (3, 6, 12)
 
 
 def init(rng, scale: float = 0.5, inner: int = 96, out: int = 24,
-         dtype=jnp.float32) -> Dict[str, Any]:
+         backbone_arch: str = "mbv3", dtype=jnp.float32) -> Dict[str, Any]:
     keys = cm.split_rng(rng, 16)
-    backbone = mbv3.init(keys[0], "large", scale, dtype=dtype)
-    cfg = mbv3.scaled_cfg(mbv3.LARGE_CFG, scale)
-    tap_chs = [cfg[i - 1][2] for i in _TAPS]  # channels entering each tap
-    last_ch = backbone["last"]["conv"]["w"].shape[-1]
-    in_chs = tap_chs + [last_ch]
+    if backbone_arch == "resnet18":
+        from . import resnet
+        backbone = resnet.init(keys[0], 18, dtype=dtype)
+        in_chs = list(resnet.STAGE_CH)
+    else:
+        backbone = mbv3.init(keys[0], "large", scale, dtype=dtype)
+        cfg = mbv3.scaled_cfg(mbv3.LARGE_CFG, scale)
+        tap_chs = [cfg[i - 1][2] for i in _TAPS]  # channels entering taps
+        last_ch = backbone["last"]["conv"]["w"].shape[-1]
+        in_chs = tap_chs + [last_ch]
 
     p: Dict[str, Any] = {"backbone": backbone}
     p["lateral"] = [cm.conv_init(keys[1 + i], 1, c, inner, dtype=dtype)
@@ -65,10 +70,15 @@ def _upsample_to(x, target):
     return x
 
 
-def apply(params, x, scale: float = 0.5) -> jnp.ndarray:
+def apply(params, x, scale: float = 0.5,
+          backbone_arch: str = "mbv3") -> jnp.ndarray:
     """x: (N, H, W, 3) ImageNet-normalized. Returns (N, H, W) prob map."""
-    feats = mbv3.apply(params["backbone"], x, "large", scale,
-                       feature_taps=_TAPS)
+    if backbone_arch == "resnet18":
+        from . import resnet
+        feats = resnet.apply(params["backbone"], x, 18)
+    else:
+        feats = mbv3.apply(params["backbone"], x, "large", scale,
+                           feature_taps=_TAPS)
     # feats: [1/4, 1/8, 1/16, 1/32] (last is post-`last` conv)
     laterals = [cm.conv2d(f, w) for f, w in zip(feats, params["lateral"])]
     # top-down pathway

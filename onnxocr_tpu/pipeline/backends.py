@@ -63,10 +63,11 @@ class DetForward:
 
     def __init__(self, backend: str, model_path: Optional[str] = None,
                  params: Optional[dict] = None, dtype=jnp.float32,
-                 map_dtype: str = "float32"):
+                 map_dtype: str = "float32", arch: str = "mbv3"):
         self.backend = backend
         self.dtype = dtype
         self.map_dtype = map_dtype
+        self.arch = arch
         if backend == "graph":
             self.executor = GraphExecutor(model_path, name="det")
         else:
@@ -89,8 +90,8 @@ class DetForward:
 
     def _native_fn(self, x_u8):
         x = det_pre.normalize_det(x_u8)[None].astype(self.dtype)
-        return self._encode(dbnet.apply(self.params, x)[0]
-                            .astype(jnp.float32))
+        prob = dbnet.apply(self.params, x, backbone_arch=self.arch)[0]
+        return self._encode(prob.astype(jnp.float32))
 
     def _graph_fn(self, x_u8):
         x = det_pre.normalize_det(x_u8)[None].astype(jnp.float32)
@@ -156,8 +157,14 @@ class RecForward:
             self.params = params
         self._jit = None
 
+    arch = "svtr"
+
     def _native_fn(self, crops):
-        logits = svtr.apply(self.params, crops.astype(self.dtype))
+        if self.arch == "crnn":
+            from ..models import crnn
+            logits = crnn.apply(self.params, crops.astype(self.dtype))
+        else:
+            logits = svtr.apply(self.params, crops.astype(self.dtype))
         return ctc_ops.ctc_reduce_logits(logits.astype(jnp.float32))
 
     def _graph_fn(self, crops):
@@ -184,8 +191,19 @@ def _load_native_params(model_dir: str):
     return load_tree(path)
 
 
+def pick_arch(kind: str, model_path: str, algorithm: str = "") -> str:
+    """Native architecture for a stage: SVTR vs CRNN by rec_algorithm, and
+    the ResNet-vd detector backbone for the server model family."""
+    if kind == "rec":
+        return "crnn" if "CRNN" in (algorithm or "") else "svtr"
+    if kind == "det":
+        return "resnet18" if "server" in (model_path or "") else "mbv3"
+    return "mbv3"
+
+
 def resolve_backend(kind: str, model_path: str, requested: str,
-                    vocab_size: int = 0, dtype=jnp.float32):
+                    vocab_size: int = 0, dtype=jnp.float32,
+                    arch: str = "mbv3"):
     """Pick the backend for one stage.
 
     `requested` ∈ {auto, native, graph}. auto: lift weights into the native
@@ -219,9 +237,12 @@ def resolve_backend(kind: str, model_path: str, requested: str,
         if requested == "native" or not have_file:
             rng = 0  # host-side init seed
             if kind == "det":
-                params = dbnet.init(rng)
+                params = dbnet.init(rng, backbone_arch=arch)
             elif kind == "cls":
                 params = cls_model.init(rng)
+            elif arch == "crnn":
+                from ..models import crnn
+                params = crnn.init(rng, vocab_size)
             else:
                 params = svtr.init(rng, vocab_size)
             import warnings

@@ -39,12 +39,14 @@ class TextDetector:
         )
         dtype = jnp.bfloat16 if getattr(args, "tpu_dtype", "float32") == \
             "bfloat16" else jnp.float32
+        arch = backends.pick_arch("det", args.det_model_dir)
         backend, path, params = backends.resolve_backend(
             "det", args.det_model_dir,
-            getattr(args, "tpu_backend", "auto"), dtype=dtype)
+            getattr(args, "tpu_backend", "auto"), dtype=dtype, arch=arch)
         self.forward = backends.DetForward(
             backend, path, params, dtype,
-            map_dtype=getattr(args, "tpu_det_map_dtype", "float32"))
+            map_dtype=getattr(args, "tpu_det_map_dtype", "float32"),
+            arch=arch)
 
     def order_points_clockwise(self, pts: np.ndarray) -> np.ndarray:
         return geometry.order_points_clockwise(pts)

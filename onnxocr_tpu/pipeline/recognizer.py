@@ -42,10 +42,14 @@ class TextRecognizer:
             use_space_char=args.use_space_char)
         dtype = jnp.bfloat16 if getattr(args, "tpu_dtype", "float32") == \
             "bfloat16" else jnp.float32
+        arch = backends.pick_arch("rec", args.rec_model_dir,
+                                  args.rec_algorithm)
         backend, path, params = backends.resolve_backend(
             "rec", args.rec_model_dir, getattr(args, "tpu_backend", "auto"),
-            vocab_size=len(self.postprocess_op.character), dtype=dtype)
+            vocab_size=len(self.postprocess_op.character), dtype=dtype,
+            arch=arch)
         self.forward = backends.RecForward(backend, path, params, dtype)
+        self.forward.arch = arch
 
     # ---------------------------------------------------------------- shared
     def _decode_chunk(self, crops: np.ndarray, valid_ws: List[int],
