@@ -104,8 +104,8 @@ def _attn(x, blk):
     return cm.linear(out, blk["proj"])
 
 
-def apply(params, x) -> jnp.ndarray:
-    """x: (N, 48, W, 3) → (N, W//8, vocab) logits."""
+def apply_features(params, x) -> jnp.ndarray:
+    """x: (N, 48, W, 3) → (N, W//8, D) pre-head sequence features."""
     x = cm.conv_bn_act(x, params["stem"], stride=(2, 2), act="hswish")
     for (cout, s), st in zip(_STAGES, params["stages"]):
         x = cm.conv_bn_act(x, st["dw"], stride=s, groups=x.shape[-1],
@@ -122,4 +122,9 @@ def apply(params, x) -> jnp.ndarray:
         y = jax.nn.gelu(y)
         y = cm.linear(y, blk["fc2"])
         x = x + y
-    return cm.linear(x, params["head"])
+    return x
+
+
+def apply(params, x) -> jnp.ndarray:
+    """x: (N, 48, W, 3) → (N, W//8, vocab) logits."""
+    return cm.linear(apply_features(params, x), params["head"])

@@ -158,13 +158,24 @@ class RecForward:
         self._jit = None
 
     arch = "svtr"
+    # Fused Pallas head (matmul + online argmax/softmax over vocab tiles,
+    # ops/pallas/ctc_head.py) — real win on TPU where it avoids writing the
+    # (N*T, 18385) logits to HBM; plain XLA path elsewhere.
+    use_pallas_head = True
 
     def _native_fn(self, crops):
         if self.arch == "crnn":
             from ..models import crnn
             logits = crnn.apply(self.params, crops.astype(self.dtype))
-        else:
-            logits = svtr.apply(self.params, crops.astype(self.dtype))
+            return ctc_ops.ctc_reduce_logits(logits.astype(jnp.float32))
+        if self.use_pallas_head and jax.default_backend() == "tpu":
+            from ..ops.pallas.ctc_head import ctc_head_reduce_batched
+            feats = svtr.apply_features(self.params,
+                                        crops.astype(self.dtype))
+            return ctc_head_reduce_batched(
+                feats.astype(jnp.float32), self.params["head"]["w"],
+                self.params["head"]["b"])
+        logits = svtr.apply(self.params, crops.astype(self.dtype))
         return ctc_ops.ctc_reduce_logits(logits.astype(jnp.float32))
 
     def _graph_fn(self, crops):
