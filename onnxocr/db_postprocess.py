@@ -1,4 +1,4 @@
-"""Reference surface: onnxocr/db_postprocess.py → DBPostProcess."""
-from onnxocr_tpu.ops.db_post import DBPostProcess
+"""Reference surface: onnxocr/db_postprocess.py."""
+from onnxocr_tpu.ops.db_post import DBPostProcess, DistillationDBPostProcess
 
-__all__ = ["DBPostProcess"]
+__all__ = ["DBPostProcess", "DistillationDBPostProcess"]

@@ -1,4 +1,4 @@
-"""Reference surface: onnxocr/rec_postprocess.py → CTCLabelDecode."""
-from onnxocr_tpu.ops.ctc import CTCLabelDecode
+"""Reference surface: onnxocr/rec_postprocess.py."""
+from onnxocr_tpu.ops.ctc import CTCLabelDecode, DistillationCTCLabelDecode
 
-__all__ = ["CTCLabelDecode"]
+__all__ = ["CTCLabelDecode", "DistillationCTCLabelDecode"]

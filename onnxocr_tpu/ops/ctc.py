@@ -139,3 +139,28 @@ class ClsPostProcess:
         pred_idxs = preds.argmax(axis=1)
         return [(label_list[i], float(preds[n, i]))
                 for n, i in enumerate(pred_idxs)]
+
+
+class DistillationCTCLabelDecode(CTCLabelDecode):
+    """Multi-head CTC decode (reference rec_postprocess.py:116-150)."""
+
+    def __init__(self, character_dict_path=None, use_space_char=False,
+                 model_name=("student",), key=None, multi_head=False,
+                 **kwargs):
+        super().__init__(character_dict_path, use_space_char)
+        if not isinstance(model_name, (list, tuple)):
+            model_name = [model_name]
+        self.model_name = list(model_name)
+        self.key = key
+        self.multi_head = multi_head
+
+    def __call__(self, preds, label=None, *args, **kwargs):
+        output = {}
+        for name in self.model_name:
+            pred = preds[name]
+            if self.key is not None:
+                pred = pred[self.key]
+            if self.multi_head and isinstance(pred, dict):
+                pred = pred["ctc"]
+            output[name] = super().__call__(pred, label=label)
+        return output

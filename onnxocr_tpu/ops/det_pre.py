@@ -42,6 +42,19 @@ def det_resize_target(h: int, w: int, limit_side_len: float = 960,
     return resize_h, resize_w
 
 
+def det_resize_long_target(h: int, w: int, resize_long: float = 960
+                           ) -> Tuple[int, int]:
+    """resize_type 2: scale longest side to resize_long, round sides UP to
+    /128 (reference operators.py:140-161 resize_image_type2)."""
+    ratio = float(resize_long) / max(h, w)
+    resize_h = int(h * ratio)
+    resize_w = int(w * ratio)
+    stride = 128
+    resize_h = (resize_h + stride - 1) // stride * stride
+    resize_w = (resize_w + stride - 1) // stride * stride
+    return resize_h, resize_w
+
+
 def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
