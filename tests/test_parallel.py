@@ -1,0 +1,69 @@
+"""Mesh sharding tests on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8)."""
+import numpy as np
+import jax
+import pytest
+
+from onnxocr_tpu.parallel import mesh as mesh_lib
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return mesh_lib.make_mesh(8, model_parallel=2)
+
+
+def test_mesh_axes(mesh8):
+    assert mesh8.shape == {"data": 4, "model": 2}
+
+
+def test_sharded_rec_params_placement(mesh8):
+    from onnxocr_tpu.models import svtr
+    params = svtr.init(0, vocab_size=64)
+    placed = mesh_lib.shard_rec_params(params, mesh8)
+    head_w = placed["head"]["w"]
+    # vocab axis sharded over `model`
+    assert head_w.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+    # everything else replicated
+    stem = placed["stem"]["conv"]["w"]
+    assert stem.sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_train_step_runs(mesh8):
+    import optax
+    from onnxocr_tpu.train import rec_trainer
+    params, optimizer, _ = rec_trainer.init_training(0, 64, lr=1e-3)
+    params = mesh_lib.shard_rec_params(params, mesh8)
+    opt_state = optimizer.init(params)
+    B = 8
+    batch = mesh_lib.shard_batch(
+        {"images": np.zeros((B, 48, 64, 3), np.float32),
+         "labels": np.ones((B, 8), np.int32),
+         "pads": np.zeros((B, 8), np.float32)}, mesh8)
+    step = rec_trainer.make_sharded_train_step(mesh8, optimizer)
+    params2, opt_state2, loss = step(params, opt_state, batch["images"],
+                                     batch["labels"], batch["pads"])
+    assert np.isfinite(float(loss))
+    # params keep their shardings through the update
+    assert params2["head"]["w"].sharding.spec == \
+        jax.sharding.PartitionSpec(None, "model")
+
+
+def test_sharded_det_batch(mesh8):
+    from onnxocr_tpu.parallel.serving import ShardedDetBatch
+    from onnxocr_tpu.models import dbnet
+    params = dbnet.init(0)
+    det = ShardedDetBatch(params, mesh8)
+    batch = np.zeros((5, 64, 64, 3), np.uint8)  # 5 pads to 8 internally
+    out = det(batch)
+    assert out.shape == (5, 64, 64)
+
+
+def test_sharded_rec_batch(mesh8):
+    from onnxocr_tpu.parallel.serving import ShardedRecBatch
+    from onnxocr_tpu.models import svtr
+    params = svtr.init(0, vocab_size=64)
+    rec = ShardedRecBatch(params, mesh8)
+    idx, prob = rec(np.zeros((6, 48, 64, 3), np.float32))
+    assert idx.shape == (6, 8) and prob.shape == (6, 8)
