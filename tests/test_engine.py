@@ -1,0 +1,101 @@
+"""Engine manager unit tests (reference intent: docs/SERVICE_REDESIGN.md
+test plan — run_ocr field shape + threshold filtering, registry params)."""
+import asyncio
+
+import numpy as np
+import pytest
+
+from onnxocr_tpu.service import engine as engine_mod
+
+
+class FakeModel:
+    def __init__(self):
+        self.calls = 0
+
+    def ocr(self, img, det=True, rec=True, cls=True):
+        self.calls += 1
+        box = [[0.0, 0.0], [10.0, 0.0], [10.0, 5.0], [0.0, 5.0]]
+        return [[[box, ("high", 0.9)], [box, ("low", 0.3)]]]
+
+
+@pytest.fixture()
+def engine():
+    engine_mod.reset_engine_manager()
+    em = engine_mod.EngineManager(concurrency=2)
+    fake = FakeModel()
+    for name in engine_mod.MODEL_REGISTRY:
+        em._models[name] = fake
+    yield em
+    engine_mod.reset_engine_manager()
+
+
+def _run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+def test_run_ocr_returns_time_and_result(engine):
+    img = np.zeros((10, 10, 3), np.uint8)
+    t, result = _run(engine.run_ocr(img))
+    assert t >= 0
+    assert len(result[0]) == 2
+
+
+def test_conf_threshold_post_filter(engine):
+    """conf_threshold filters on top of drop_score (app/engine.py:138-145,
+    quirk #10)."""
+    img = np.zeros((10, 10, 3), np.uint8)
+    _, result = _run(engine.run_ocr(img, conf_threshold=0.5))
+    assert len(result[0]) == 1
+    assert result[0][0][1][0] == "high"
+    _, result = _run(engine.run_ocr(img, conf_threshold=None))
+    assert len(result[0]) == 2
+
+
+def test_model_registry_kwargs():
+    engine_mod.reset_engine_manager()
+    em = engine_mod.EngineManager()
+    kw5 = em._get_model_kwargs("PP-OCRv5")
+    assert kw5["use_angle_cls"] is True
+    assert "ppocrv5" in kw5["det_model_dir"]
+    assert "ppocrv5_dict" in kw5["rec_char_dict_path"]
+    # quirk: v4 inherits the default (v5) dict — no override key
+    kw4 = em._get_model_kwargs("PP-OCRv4")
+    assert "rec_char_dict_path" not in kw4
+    # server model: det/cls + v1 keys, no rec model override
+    kws = em._get_model_kwargs("ch_ppocr_server_v2.0")
+    assert "rec_model_dir" not in kws
+    assert "ppocr_keys_v1" in kws["rec_char_dict_path"]
+    engine_mod.reset_engine_manager()
+
+
+def test_model_cache_single_instance(engine):
+    m1 = engine.get_model("PP-OCRv5")
+    m2 = engine.get_model("PP-OCRv5")
+    assert m1 is m2
+
+
+def test_concurrency_semaphore_limits(engine):
+    import threading
+    active = []
+    peak = []
+    lock = threading.Lock()
+    orig = engine._sync_ocr
+
+    def slow(img, model_name=None, conf_threshold=None):
+        import time
+        with lock:
+            active.append(1)
+            peak.append(len(active))
+        time.sleep(0.05)
+        with lock:
+            active.pop()
+        return orig(img, model_name, conf_threshold)
+
+    engine._sync_ocr = slow
+    img = np.zeros((4, 4, 3), np.uint8)
+
+    async def fire():
+        await asyncio.gather(*[engine.run_ocr(img) for _ in range(6)])
+
+    _run(fire())
+    assert max(peak) <= engine.concurrency
