@@ -93,8 +93,30 @@ class TextRenderer:
         assert self.char_to_idx is not None
         return [self.char_to_idx[c] for c in text if c in self.char_to_idx]
 
+    def add_margins(self, line: np.ndarray, height: int, max_width: int
+                    ) -> np.ndarray:
+        """Embed a tight text line into a looser crop, mimicking the
+        geometry of DB-detected boxes after the 1.5 unclip (the pipeline's
+        crops carry ~10-40% margins around the glyphs)."""
+        import cv2
+        rng = self.rng
+        lh, lw = line.shape[:2]
+        top = int(rng.uniform(0.0, 0.45) * lh)
+        bot = int(rng.uniform(0.0, 0.45) * lh)
+        left = int(rng.uniform(0.0, 0.3) * lh)
+        right = int(rng.uniform(0.0, 0.3) * lh)
+        bg = int(np.median(line[0]))
+        framed = cv2.copyMakeBorder(line, top, bot, left, right,
+                                    cv2.BORDER_CONSTANT,
+                                    value=(bg, bg, bg))
+        fh, fw = framed.shape[:2]
+        scale = height / fh
+        w = max(8, min(max_width, int(fw * scale)))
+        return cv2.resize(framed, (w, height))
+
     # ----------------------------------------------------------- rec batches
-    def rec_batch(self, batch: int, width: int = 320, max_len: int = 16
+    def rec_batch(self, batch: int, width: int = 320, max_len: int = 16,
+                  margins: bool = True
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """→ (images (B,48,width,3) float in [-1,1], labels (B,L) int32,
         label_paddings (B,L) float32)."""
@@ -103,6 +125,8 @@ class TextRenderer:
         for i in range(batch):
             t = self.random_text(max_len)
             line = self.render_line(t, 48, width)
+            if margins and self.rng.random() < 0.8:
+                line = self.add_margins(line, 48, width)
             w = line.shape[1]
             imgs[i, :, :w] = (line.astype(np.float32) / 255.0 - 0.5) / 0.5
             texts.append(t)
@@ -116,8 +140,11 @@ class TextRenderer:
         return imgs, labels, pads
 
     # ----------------------------------------------------------- det pages
-    def det_page(self, size: int = 320, max_lines: int = 8, shrink: float = 0.4
+    def det_page(self, size: int = 320, max_lines: int = 8, shrink: float = 0.7
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        # shrink 0.7 → target distance ≈ 0.49·A/P ≈ 0.25·line-height, so the
+        # DB unclip (1.5) re-expands detected boxes to ~1.25× text height —
+        # matching the margin augmentation the recognizer trains with.
         """Compose a page of text lines. → (image (S,S,3) uint8 BGR,
         shrink_map (S,S) float, mask (S,S) float)."""
         import cv2
