@@ -126,7 +126,8 @@ class TextSystem:
         return dt_boxes, rec_res
 
     def __call__(self, img, cls: bool = True):
-        if self.crop_backend == "device":
+        # save_crop_res needs host-materialized crops (predict_system.py:63)
+        if self.crop_backend == "device" and not self.args.save_crop_res:
             dt_boxes, rec_res = self._call_device_crops(img, cls)
         else:
             dt_boxes, rec_res = self._call_host_crops(img, cls)
