@@ -1,0 +1,133 @@
+"""Cross-request micro-batching in front of the single TPU.
+
+The reference gates concurrent requests with a semaphore and runs them
+back-to-back (app/engine.py:37,111). On TPU the better shape is a batching
+queue: concurrent requests' crop batches of the SAME width bucket are
+concatenated into one device call, padded up the batch ladder, and the
+results split back — MXU utilization grows with load instead of queueing
+latency.
+
+Generic over the stage function: anything of the form
+    fn(batch_input (B, ...)) → pytree of arrays with leading dim B.
+Enabled for the service via Settings.MODEL_CONCURRENCY > 1 (engine wires
+RecForward/ClsForward through a MicroBatcher per stage).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+
+
+class _Work:
+    __slots__ = ("item", "event", "result", "error")
+
+    def __init__(self, item):
+        self.item = item
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    def __init__(self, fn: Callable, max_batch: int = 64,
+                 max_wait_ms: float = 4.0,
+                 batch_ladder: Sequence[int] = (1, 2, 4, 8, 16, 32, 64)):
+        self.fn = fn
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.batch_ladder = tuple(batch_ladder)
+        self._q: "queue.Queue[_Work]" = queue.Queue()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="ocr-microbatcher")
+        self._thread.start()
+
+    def close(self):
+        self._stop = True
+        self._q.put(None)  # wake
+        self._thread.join(timeout=2)
+
+    def submit(self, item: np.ndarray):
+        """Blocking: item (B, ...) → fn's output sliced back to B rows."""
+        work = _Work(np.asarray(item))
+        self._q.put(work)
+        work.event.wait()
+        if work.error is not None:
+            raise work.error
+        return work.result
+
+    # ------------------------------------------------------------ internals
+    def _loop(self):
+        while not self._stop:
+            work = self._q.get()
+            if work is None:
+                continue
+            batch: List[_Work] = [work]
+            total = work.item.shape[0]
+            deadline = None
+            while total < self.max_batch:
+                try:
+                    timeout = self.max_wait if deadline is None else \
+                        max(0.0, deadline)
+                    nxt = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                deadline = 0.0  # only wait once per batch
+                batch.append(nxt)
+                total += nxt.item.shape[0]
+            self._run(batch)
+
+    def _run(self, batch: List[_Work]):
+        # group by trailing shape (same bucket) — different buckets run
+        # separately but still amortize dispatch.
+        groups: Dict[tuple, List[_Work]] = {}
+        for w in batch:
+            groups.setdefault(w.item.shape[1:], []).append(w)
+        for shape, works in groups.items():
+            try:
+                arrays = [w.item for w in works]
+                n = sum(a.shape[0] for a in arrays)
+                bsz = next((b for b in self.batch_ladder if n <= b),
+                           self.batch_ladder[-1])
+                if bsz < n:
+                    bsz = n
+                stacked = np.concatenate(arrays, axis=0)
+                if bsz > n:
+                    pad = np.zeros((bsz - n,) + shape, stacked.dtype)
+                    stacked = np.concatenate([stacked, pad], axis=0)
+                out = self.fn(stacked)
+                out_np = jax.tree_util.tree_map(np.asarray, out)
+                off = 0
+                for w in works:
+                    k = w.item.shape[0]
+                    w.result = jax.tree_util.tree_map(
+                        lambda a: a[off:off + k], out_np)
+                    off += k
+                    w.event.set()
+            except BaseException as e:  # propagate to all waiters
+                for w in works:
+                    if not w.event.is_set():
+                        w.error = e
+                        w.event.set()
+
+
+class BatchedForward:
+    """Wrap a *Forward so its __call__ goes through a MicroBatcher."""
+
+    def __init__(self, forward, max_batch: int = 64,
+                 max_wait_ms: float = 4.0):
+        self.forward = forward
+        self.batcher = MicroBatcher(forward, max_batch=max_batch,
+                                    max_wait_ms=max_wait_ms)
+
+    def __getattr__(self, name):
+        return getattr(self.forward, name)
+
+    def __call__(self, crops):
+        return self.batcher.submit(np.asarray(crops))

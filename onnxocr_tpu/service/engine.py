@@ -59,7 +59,17 @@ class EngineManager:
         reg = MODEL_REGISTRY.get(model_name, {})
         for key, rel in reg.items():
             kwargs[key] = cfg_mod.find_asset(rel)
+        if self._micro_batch:
+            # cross-request batching replaces per-image fusion: cls/rec
+            # calls route through the MicroBatcher queue instead
+            kwargs["tpu_fused_cls_rec"] = False
         return kwargs
+
+    @property
+    def _micro_batch(self) -> bool:
+        import os
+        return os.environ.get("MICRO_BATCH", "").lower() in ("1", "true") \
+            and self.concurrency > 1
 
     def get_model(self, model_name: Optional[str] = None):
         from ..pipeline.api import ONNXPaddleOcr
@@ -67,7 +77,15 @@ class EngineManager:
         with self._lock:
             if model_name not in self._models:
                 kwargs = self._get_model_kwargs(model_name)
-                self._models[model_name] = ONNXPaddleOcr(**kwargs)
+                model = ONNXPaddleOcr(**kwargs)
+                if self._micro_batch:
+                    from ..runtime.batcher import BatchedForward
+                    model.text_recognizer.forward = BatchedForward(
+                        model.text_recognizer.forward)
+                    if model.use_angle_cls:
+                        model.text_classifier.forward = BatchedForward(
+                            model.text_classifier.forward)
+                self._models[model_name] = model
             return self._models[model_name]
 
     async def run_ocr(self, img: np.ndarray,
