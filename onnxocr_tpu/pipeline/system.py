@@ -13,6 +13,7 @@ and rec runs per width bucket straight from the same HBM image.
 from __future__ import annotations
 
 import os
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -35,6 +36,7 @@ class TextSystem:
             self.text_classifier = classifier.TextClassifier(args)
         self.crop_backend = getattr(args, "tpu_crop_backend", "device")
         self.crop_image_res_index = 0
+        self._crop_res_lock = threading.Lock()
         self._fused = None
         if getattr(args, "tpu_fused_cls_rec", True) and \
                 self.crop_backend == "device":
@@ -60,12 +62,16 @@ class TextSystem:
     def draw_crop_rec_res(self, output_dir, img_crop_list, rec_res):
         import cv2
         os.makedirs(output_dir, exist_ok=True)
+        # the reference increments this counter unlocked across threads
+        # (predict_system.py:20,33 — latent hazard flagged in SURVEY.md §5);
+        # serialize it here.
+        with self._crop_res_lock:
+            base = self.crop_image_res_index
+            self.crop_image_res_index += len(img_crop_list)
         for bno in range(len(img_crop_list)):
             cv2.imwrite(
-                os.path.join(output_dir,
-                             f"mg_crop_{bno + self.crop_image_res_index}.jpg"),
+                os.path.join(output_dir, f"mg_crop_{bno + base}.jpg"),
                 img_crop_list[bno])
-        self.crop_image_res_index += len(img_crop_list)
 
     def _call_host_crops(self, img, cls: bool):
         """Reference-style path: crops materialized with cv2 on host."""
