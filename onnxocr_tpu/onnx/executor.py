@@ -37,7 +37,8 @@ _STATIC_SIZE_LIMIT = 64
 
 
 class GraphExecutor:
-    def __init__(self, model: Union[str, ir.Model], name: str = ""):
+    def __init__(self, model: Union[str, ir.Model], name: str = "",
+                 optimize: bool = True):
         if isinstance(model, str):
             model = ir.load_model(model)
         self.model = model
@@ -60,6 +61,14 @@ class GraphExecutor:
                 weights[node.outputs[0]] = np.asarray(val)
             else:
                 self.nodes.append(node)
+
+        self.folded_bn = 0
+        if optimize:
+            from . import passes
+            out_names = [vi.name for vi in g.outputs]
+            self.nodes, self.folded_bn = passes.fold_batchnorm(
+                self.nodes, weights, out_names)
+            self.nodes = passes.eliminate_dead_nodes(self.nodes, out_names)
 
         self.static_weights: Dict[str, np.ndarray] = {}
         self.traced_weights: Dict[str, np.ndarray] = {}

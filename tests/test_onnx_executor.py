@@ -105,3 +105,17 @@ def test_executor_tiny_conv_vs_numpy():
                     ref[0, o] += xp[0, i, dy:dy + 8, dx:dx + 8] * w[o, i, dy, dx]
     ref = np.maximum(ref, 0)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bn_folding_preserves_outputs(cls_onnx_path):
+    from onnxocr_tpu.onnx import ir as ir_mod
+    ex_opt = GraphExecutor(ir_mod.load_model(cls_onnx_path), name="opt",
+                           optimize=True)
+    ex_raw = GraphExecutor(ir_mod.load_model(cls_onnx_path), name="raw",
+                           optimize=False)
+    assert ex_opt.folded_bn > 30  # 35 BN nodes in the cls graph
+    assert len(ex_opt.nodes) < len(ex_raw.nodes)
+    x = (np.random.default_rng(5).random((2, 3, 48, 192), dtype=np.float32)
+         * 2 - 1)
+    np.testing.assert_allclose(np.asarray(ex_opt(x)[0]),
+                               np.asarray(ex_raw(x)[0]), atol=3e-5)
