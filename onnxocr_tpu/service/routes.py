@@ -285,6 +285,21 @@ def build_app() -> App:
         return file_response(zip_path, "application/zip",
                              download_name=os.path.basename(zip_path))
 
+    @app.get("/static/{filename}")
+    async def static_file(request: Request) -> Response:
+        name = request.path_params["filename"]
+        if "/" in name or ".." in name:
+            raise HTTPError(400, {"error": "invalid path"})
+        root = os.environ.get("STATIC_DIR", "static")
+        path = os.path.join(root, name)
+        if not os.path.exists(path):
+            raise HTTPError(404, {"error": "not found"})
+        ctype = {"css": "text/css", "js": "application/javascript",
+                 "html": "text/html", "png": "image/png",
+                 "jpg": "image/jpeg"}.get(name.rsplit(".", 1)[-1],
+                                          "application/octet-stream")
+        return file_response(path, ctype)
+
     # ------------------------------------------------------------------ UI
     @app.get("/")
     async def index(request: Request) -> Response:
