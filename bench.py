@@ -79,7 +79,12 @@ def main():
 
     det_path = model.args.det_model_dir
     rec_path = model.args.rec_model_dir
-    real_weights = os.path.exists(det_path) and os.path.exists(rec_path)
+
+    def _has_weights(p):
+        return os.path.exists(p) or os.path.exists(
+            os.path.join(os.path.dirname(p), "native_params.npz"))
+
+    real_weights = _has_weights(det_path) and _has_weights(rec_path)
     mode = "real-weights" if real_weights else "synthetic-det-map"
 
     if not real_weights:
