@@ -97,7 +97,10 @@ class TextRenderer:
                     ) -> np.ndarray:
         """Embed a tight text line into a looser crop, mimicking the
         geometry of DB-detected boxes after the 1.5 unclip (the pipeline's
-        crops carry ~10-40% margins around the glyphs)."""
+        crops carry ~10-40% margins around the glyphs — and on dense pages
+        those margins contain fragments of NEIGHBORING lines, so with some
+        probability strips of other rendered text bleed into the top/bottom
+        margins here too)."""
         import cv2
         rng = self.rng
         lh, lw = line.shape[:2]
@@ -109,6 +112,23 @@ class TextRenderer:
         framed = cv2.copyMakeBorder(line, top, bot, left, right,
                                     cv2.BORDER_CONSTANT,
                                     value=(bg, bg, bg))
+        # neighbor-line clutter in the vertical margins
+        if rng.random() < 0.5 and (top > 2 or bot > 2):
+            clutter = self.render_line(self.random_text(12),
+                                       max(8, int(lh * rng.uniform(0.7,
+                                                                   1.2))),
+                                       framed.shape[1])
+            ch_, cw_ = clutter.shape[:2]
+            fw_ = framed.shape[1]
+            x0 = int(rng.integers(0, max(1, fw_ - min(cw_, fw_) + 1)))
+            if top > 2 and rng.random() < 0.8:
+                k = min(top, ch_)
+                framed[:k, x0:x0 + min(cw_, fw_ - x0)] = \
+                    clutter[ch_ - k:, : min(cw_, fw_ - x0)]
+            if bot > 2 and rng.random() < 0.8:
+                k = min(bot, ch_)
+                framed[-k:, x0:x0 + min(cw_, fw_ - x0)] = \
+                    clutter[:k, : min(cw_, fw_ - x0)]
         fh, fw = framed.shape[:2]
         scale = height / fh
         w = max(8, min(max_width, int(fw * scale)))
