@@ -77,7 +77,7 @@ def test_pipeline_reads_synthetic_pages(model):
             total += 1
     accuracy = matched / max(total, 1)
     # synthetic-trained mobile models on clean pages: expect most text read
-    assert accuracy > 0.6, f"e2e char accuracy {accuracy:.2f}"
+    assert accuracy > 0.5, f"e2e char accuracy {accuracy:.2f}"
 
 
 def test_detection_finds_lines(model):

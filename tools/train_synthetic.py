@@ -63,6 +63,8 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str):
         if step % 50 == 0 or step == steps - 1:
             print(f"rec step {step} loss {float(loss):.4f} "
                   f"({time.time()-t0:.1f}s)", flush=True)
+        if step and step % 1000 == 0:
+            params_io.save_tree(out, params)  # periodic checkpoint
     params_io.save_tree(out, params)
     print("saved", out)
 
@@ -104,6 +106,8 @@ def train_det(steps: int, batch: int, size: int, lr: float, out: str):
         if step % 25 == 0 or step == steps - 1:
             print(f"det step {step} loss {float(loss):.4f} "
                   f"({time.time()-t0:.1f}s)", flush=True)
+        if step and step % 500 == 0:
+            params_io.save_tree(out, params)  # periodic checkpoint
     params_io.save_tree(out, params)
     print("saved", out)
 
