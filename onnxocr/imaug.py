@@ -1,22 +1,23 @@
-"""Reference surface: onnxocr/imaug.py — op chaining. The reference
-instantiates ops via eval() on class names (imaug.py:30, parity trap #12);
-this build uses an explicit registry with the same op names."""
+"""Reference surface: onnxocr/imaug.py — preprocessing-op chaining.
+
+Parity trap #12 (SURVEY.md): the reference instantiates ops by eval()'ing
+class names from config (imaug.py:30). This build resolves the same names
+through an explicit registry instead — same op vocabulary, no eval.
+"""
 from . import operators
 
-__all__ = ["transform", "create_operators"]
+__all__ = ["transform", "create_operators", "OP_REGISTRY"]
 
-_REGISTRY = {
-    "NormalizeImage": operators.NormalizeImage,
-    "DetResizeForTest": operators.DetResizeForTest,
-    "ToCHWImage": operators.ToCHWImage,
-    "KeepKeys": operators.KeepKeys,
+OP_REGISTRY = {
+    cls.__name__: cls
+    for cls in (operators.NormalizeImage, operators.DetResizeForTest,
+                operators.ToCHWImage, operators.KeepKeys)
 }
 
 
 def transform(data, ops=None):
-    if ops is None:
-        ops = []
-    for op in ops:
+    """Apply a pipeline of ops to a {"image": ...} dict; None aborts."""
+    for op in (ops or []):
         data = op(data)
         if data is None:
             return None
@@ -24,16 +25,20 @@ def transform(data, ops=None):
 
 
 def create_operators(op_param_list, global_config=None):
-    assert isinstance(op_param_list, list), "operator config should be a list"
+    """[{OpName: params}, ...] → list of op instances (explicit registry)."""
+    if not isinstance(op_param_list, list):
+        raise TypeError("operator config should be a list")
     ops = []
-    for operator in op_param_list:
-        assert isinstance(operator, dict) and len(operator) == 1, \
-            "yaml format error"
-        op_name = list(operator)[0]
-        param = {} if operator[op_name] is None else dict(operator[op_name])
-        if global_config is not None:
-            param.update(global_config)
-        if op_name not in _REGISTRY:
-            raise KeyError(f"unknown preprocessing op {op_name!r}")
-        ops.append(_REGISTRY[op_name](**param))
+    for spec in op_param_list:
+        if not (isinstance(spec, dict) and len(spec) == 1):
+            raise ValueError("each op spec must be a single-key dict")
+        (op_name, params), = spec.items()
+        kwargs = dict(params or {})
+        if global_config:
+            kwargs.update(global_config)
+        try:
+            op_cls = OP_REGISTRY[op_name]
+        except KeyError:
+            raise KeyError(f"unknown preprocessing op {op_name!r}") from None
+        ops.append(op_cls(**kwargs))
     return ops

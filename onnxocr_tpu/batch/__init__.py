@@ -1,0 +1,1 @@
+"""Batch orchestration: multi-file/PDF OCR logic."""

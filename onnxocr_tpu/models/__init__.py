@@ -1,0 +1,1 @@
+"""Native NHWC model family and ONNX weight lifting."""

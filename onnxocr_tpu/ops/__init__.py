@@ -1,0 +1,1 @@
+"""Device ops: warp, det pre/post, CTC reduce, geometry, Pallas kernels."""

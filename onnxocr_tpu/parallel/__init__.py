@@ -1,0 +1,1 @@
+"""Device-mesh sharding: dp x tp training and batched serving."""

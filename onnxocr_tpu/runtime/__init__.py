@@ -1,0 +1,1 @@
+"""Host runtime: C++ geometry library loader, micro-batcher."""

@@ -1,0 +1,1 @@
+"""Training: CTC/DB trainers and synthetic data rendering."""
