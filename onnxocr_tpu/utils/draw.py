@@ -60,7 +60,9 @@ def text_visual(texts: List[str], scores, img_h: int = 400, img_w: int = 600,
             "The number of txts and corresponding scores must match"
 
     def create_blank_img():
-        blank = np.ones((img_h, img_w), dtype=np.int8) * 255
+        # (uint8 here; the reference's int8*255 trips numpy>=2 overflow
+        # checks — the intent is a white panel with a black right border)
+        blank = np.full((img_h, img_w), 255, dtype=np.uint8)
         blank[:, img_w - 1:] = 0
         blank = Image.fromarray(blank).convert("RGB")
         return blank, ImageDraw.Draw(blank)

@@ -64,9 +64,6 @@ def _render_page(seed: int):
     return page, truths
 
 
-@pytest.mark.xfail(strict=False,
-                   reason="accuracy bar pending the clutter-augmented "
-                          "recognizer checkpoint (training in progress)")
 def test_pipeline_reads_synthetic_pages(model):
     total, matched = 0, 0.0
     for seed in (0, 1, 2):
@@ -80,7 +77,7 @@ def test_pipeline_reads_synthetic_pages(model):
             total += 1
     accuracy = matched / max(total, 1)
     # synthetic-trained mobile models on clean pages: expect most text read
-    assert accuracy > 0.5, f"e2e char accuracy {accuracy:.2f}"
+    assert accuracy > 0.75, f"e2e char accuracy {accuracy:.2f}"
 
 
 def test_detection_finds_lines(model):
