@@ -127,7 +127,7 @@ def main():
     rounds = 3
     work = [im for _ in range(rounds) for im in images]
     t0 = time.time()
-    with concurrent.futures.ThreadPoolExecutor(max_workers=3) as pool:
+    with concurrent.futures.ThreadPoolExecutor(max_workers=5) as pool:
         list(pool.map(model.ocr, work))
     dt = time.time() - t0
 

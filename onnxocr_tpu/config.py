@@ -171,6 +171,10 @@ DEFAULTS = {
     # (box scores shift < 0.002 — the tunnel is the bottleneck, 4x fewer
     # bytes), 'float16', or 'float32' for strict parity.
     "tpu_det_map_dtype": "uint8",
+    # 'device': the det input is resized+normalized on TPU from the same
+    # HBM image the crop warps read (one upload per image); 'host' uses
+    # cv2.resize + a separate upload (exact reference resize arithmetic).
+    "tpu_det_input": "device",
     # Fuse cls forward + rotation select + rec forward into ONE device call
     # per width bucket (the 180° flip is applied by homography selection on
     # device instead of a host round trip between cls and rec).

@@ -1,0 +1,85 @@
+"""Device-side detector input prep: bilinear resize from the HBM-resident
+original image into the padded det bucket.
+
+Replaces the hot-path host cv2.resize + second upload (the original image is
+already in HBM for the crop warps): one jit per (source-bucket, det-bucket)
+pair, with the actual resize factors passed as runtime scalars so arbitrary
+source sizes reuse the same compiled program.
+
+Half-pixel mapping matches cv2.resize INTER_LINEAR (ops/warp.py convention).
+Output is float32 NHWC, ImageNet-normalized (det_pre.normalize_det), with
+rows ≥ resize_h / cols ≥ resize_w zeroed.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import det_pre
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def resize_normalize_det(image_u8: jax.Array, src_h: jax.Array,
+                         src_w: jax.Array, resize_h: jax.Array,
+                         resize_w: jax.Array, out_h: int,
+                         out_w: int) -> jax.Array:
+    """image_u8: (Hs, Ws, 3) padded source (valid region src_h × src_w).
+    Returns (out_h, out_w, 3) float32 normalized det input whose top-left
+    resize_h × resize_w region is the bilinear resize of the valid source.
+    """
+    Hs, Ws = image_u8.shape[:2]
+    flat = image_u8.reshape(-1, 3).astype(jnp.float32)
+
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    sy = src_h.astype(jnp.float32) / resize_h.astype(jnp.float32)
+    sx = src_w.astype(jnp.float32) / resize_w.astype(jnp.float32)
+    src_y = (ys + 0.5) * sy - 0.5
+    src_x = (xs + 0.5) * sx - 0.5
+    src_y = jnp.clip(src_y, 0.0, src_h.astype(jnp.float32) - 1.0)
+    src_x = jnp.clip(src_x, 0.0, src_w.astype(jnp.float32) - 1.0)
+
+    y0 = jnp.floor(src_y)
+    x0 = jnp.floor(src_x)
+    fy = (src_y - y0)[:, None, None]
+    fx = (src_x - x0)[None, :, None]
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, src_h - 1)
+    x1 = jnp.minimum(x0 + 1, src_w - 1)
+
+    def tap(yy, xx):
+        idx = yy[:, None] * Ws + xx[None, :]
+        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+            out_h, out_w, 3)
+
+    top = tap(y0, x0) * (1 - fx) + tap(y0, x1) * fx
+    bot = tap(y1, x0) * (1 - fx) + tap(y1, x1) * fx
+    vals = top * (1 - fy) + bot * fy
+
+    # cv2.resize rounds to uint8 between resize and normalize; replicate.
+    vals = jnp.round(jnp.clip(vals, 0.0, 255.0))
+    norm = (vals / 255.0 - jnp.asarray(det_pre.IMAGENET_MEAN)) / \
+        jnp.asarray(det_pre.IMAGENET_STD)
+    row_mask = (jnp.arange(out_h) < resize_h)[:, None, None]
+    col_mask = (jnp.arange(out_w) < resize_w)[None, :, None]
+    return jnp.where(row_mask & col_mask, norm, 0.0).astype(jnp.float32)
+
+
+def pad_src_bucket(img: np.ndarray, granularity: int = 256
+                   ) -> Tuple[np.ndarray, int, int]:
+    """EDGE-pad the original image up to a source bucket so each distinct
+    padded shape compiles the resize/warp programs once. Edge padding (not
+    zeros) keeps BORDER_REPLICATE semantics for crop warps that clamp at the
+    padded boundary."""
+    h, w = img.shape[:2]
+    hb = det_pre.round_up(h, granularity)
+    wb = det_pre.round_up(w, granularity)
+    if (hb, wb) == (h, w):
+        return np.ascontiguousarray(img), h, w
+    out = np.pad(img, ((0, hb - h), (0, wb - w), (0, 0)), mode="edge")
+    return out, h, w

@@ -106,6 +106,25 @@ class DetForward:
             self._jit = jax.jit(fn)
         return self._jit(padded_u8)
 
+    # --- pre-normalized float input (device det-resize path) -------------
+    def _native_fn_f32(self, x_f32):
+        x = x_f32[None].astype(self.dtype)
+        prob = dbnet.apply(self.params, x, backbone_arch=self.arch)[0]
+        return self._encode(prob.astype(jnp.float32))
+
+    def _graph_fn_f32(self, x_f32):
+        x = jnp.transpose(x_f32[None].astype(jnp.float32), (0, 3, 1, 2))
+        out = self.executor._interpret(self.executor._get_device_weights(),
+                                       {self.executor.input_names[0]: x})[0]
+        return self._encode(out[0, 0])
+
+    def call_normalized(self, x_f32) -> jax.Array:
+        if getattr(self, "_jit_f32", None) is None:
+            fn = self._native_fn_f32 if self.backend == "native" \
+                else self._graph_fn_f32
+            self._jit_f32 = jax.jit(fn)
+        return self._jit_f32(x_f32)
+
 
 class ClsForward:
     """(N, 48, 192, 3) float32 in [-1,1] → (N, 2) softmax probs."""

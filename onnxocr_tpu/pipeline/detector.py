@@ -95,12 +95,39 @@ class TextDetector:
             np.asarray(prob_padded))[:rh, :rw]
         return prob, shape_info
 
-    def __call__(self, img: np.ndarray) -> Optional[np.ndarray]:
-        ori_shape = img.shape
-        prob, shape_info = self.infer_prob_map(img)
+    def infer_prob_map_device(self, image_dev, src_h: int, src_w: int):
+        """Device det-resize path: the HBM-resident (edge-padded) original
+        is resized+normalized on device (ops/resize_dev.py) and fed straight
+        to the det forward — no second host→device upload, no host resize."""
+        from ..ops import resize_dev
+        import jax.numpy as jnp
+        if self.image_shape is not None:
+            rh, rw = self.image_shape
+        else:
+            rh, rw = det_pre.det_resize_target(src_h, src_w,
+                                               self.limit_side_len,
+                                               self.limit_type)
+        hb = det_pre.round_up(rh, self.bucket)
+        wb = det_pre.round_up(rw, self.bucket)
+        x = resize_dev.resize_normalize_det(
+            image_dev, jnp.int32(src_h), jnp.int32(src_w), jnp.int32(rh),
+            jnp.int32(rw), hb, wb)
+        prob_padded = self.forward.call_normalized(x)
+        prob = backends.DetForward.decode_map(
+            np.asarray(prob_padded))[:rh, :rw]
+        shape_info = np.array([src_h, src_w, rh / float(src_h),
+                               rw / float(src_w)], dtype=np.float64)
+        return prob, shape_info
+
+    def boxes_from_prob(self, prob: np.ndarray, shape_info: np.ndarray,
+                        ori_shape) -> Optional[np.ndarray]:
         preds = {"maps": prob[None, None]}
         post_result = self.postprocess_op(preds, shape_info[None])
         dt_boxes = post_result[0]["points"]
         if self.args.det_box_type == "poly":
             return self.filter_tag_det_res_only_clip(dt_boxes, ori_shape)
         return self.filter_tag_det_res(dt_boxes, ori_shape)
+
+    def __call__(self, img: np.ndarray) -> Optional[np.ndarray]:
+        prob, shape_info = self.infer_prob_map(img)
+        return self.boxes_from_prob(prob, shape_info, img.shape)

@@ -97,8 +97,23 @@ class TextSystem:
 
     def _call_device_crops(self, img, cls: bool):
         from ..utils.profiling import GLOBAL as timer
-        with timer.stage("det"):
-            dt_boxes = self.text_detector(img)
+        image_dev = None
+        if getattr(self.args, "tpu_det_input", "device") == "device":
+            # one upload: det resizes on device from the same HBM image the
+            # crop warps read (ops/resize_dev.py)
+            from ..ops import resize_dev
+            with timer.stage("img_upload"):
+                padded_src, src_h, src_w = resize_dev.pad_src_bucket(img)
+                image_dev = jax.device_put(padded_src)
+            with timer.stage("det"):
+                prob, shape_info = \
+                    self.text_detector.infer_prob_map_device(
+                        image_dev, src_h, src_w)
+                dt_boxes = self.text_detector.boxes_from_prob(
+                    prob, shape_info, img.shape)
+        else:
+            with timer.stage("det"):
+                dt_boxes = self.text_detector(img)
         if dt_boxes is None:
             return None, None
         dt_boxes = sorted_boxes(dt_boxes)
@@ -110,8 +125,9 @@ class TextSystem:
         else:
             crop_quads = np.stack([minarea_quad(np.asarray(b))
                                    for b in dt_boxes]).astype(np.float32)
-        with timer.stage("img_upload"):
-            image_dev = jax.device_put(np.ascontiguousarray(img))
+        if image_dev is None:
+            with timer.stage("img_upload"):
+                image_dev = jax.device_put(np.ascontiguousarray(img))
         if self._fused is not None:
             use_cls = bool(self.use_angle_cls and cls and
                            self._fused.idx180 is not None)
