@@ -212,13 +212,24 @@ class RecForward:
 
 
 # --------------------------------------------------------------------- zoo
-def _load_native_params(model_dir: str):
-    """Load trained native params from <model_dir>/native_params.npz."""
-    path = os.path.join(os.path.dirname(model_dir), "native_params.npz")
-    if not os.path.exists(path):
-        return None
+def _load_native_params(model_dir: str, kind: str = "", arch: str = ""):
+    """Load trained native params from <model_dir>/native_params.npz; when a
+    registry entry (e.g. PP-OCRv4) has no checkpoint of its own, fall back
+    to the ppocrv5 family checkpoint of the same stage/architecture so
+    model switching stays functional (warns)."""
     from ..utils.params_io import load_tree
-    return load_tree(path)
+    path = os.path.join(os.path.dirname(model_dir), "native_params.npz")
+    if os.path.exists(path):
+        return load_tree(path)
+    if kind in ("det", "rec") and arch in ("mbv3", "svtr"):
+        from .. import config as cfg_mod
+        fb = cfg_mod.find_asset(f"ppocrv5/{kind}/native_params.npz")
+        if os.path.exists(fb) and os.path.abspath(fb) != os.path.abspath(path):
+            import warnings
+            warnings.warn(f"{kind}: no checkpoint at {path}; using the "
+                          f"ppocrv5 family checkpoint {fb}")
+            return load_tree(fb)
+    return None
 
 
 def pick_arch(kind: str, model_path: str, algorithm: str = "") -> str:
@@ -262,7 +273,7 @@ def resolve_backend(kind: str, model_path: str, requested: str,
             # unknown cls variant → run the graph directly
             return "graph", model_path, None
     if params is None and model_path:
-        params = _load_native_params(model_path)
+        params = _load_native_params(model_path, kind, arch)
     if params is None:
         if requested == "native" or not have_file:
             rng = 0  # host-side init seed
