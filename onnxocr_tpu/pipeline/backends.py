@@ -236,7 +236,9 @@ def pick_arch(kind: str, model_path: str, algorithm: str = "") -> str:
     """Native architecture for a stage: SVTR vs CRNN by rec_algorithm, and
     the ResNet-vd detector backbone for the server model family."""
     if kind == "rec":
-        return "crnn" if "CRNN" in (algorithm or "") else "svtr"
+        if "CRNN" in (algorithm or "") or "server" in (model_path or ""):
+            return "crnn"
+        return "svtr"
     if kind == "det":
         return "resnet18" if "server" in (model_path or "") else "mbv3"
     return "mbv3"

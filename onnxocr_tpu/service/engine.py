@@ -38,6 +38,10 @@ MODEL_REGISTRY = {
         "det_model_dir": "ch_ppocr_server_v2.0/det/det.onnx",
         "cls_model_dir": "ch_ppocr_server_v2.0/cls/cls.onnx",
         "rec_char_dict_path": "ch_ppocr_server_v2.0/ppocr_keys_v1.txt",
+        # improvement over the reference (which ships no server rec at all,
+        # app/engine.py:76): route rec to the CRNN family so a trained
+        # native checkpoint under this dir makes the model switch functional
+        "rec_model_dir": "ch_ppocr_server_v2.0/rec/rec.onnx",
     },
 }
 

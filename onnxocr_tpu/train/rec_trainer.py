@@ -22,10 +22,12 @@ from ..models import svtr
 from ..parallel import mesh as mesh_lib
 
 
-def ctc_loss_fn(params, images, labels, label_paddings, dtype=jnp.float32):
+def ctc_loss_fn(params, images, labels, label_paddings, dtype=jnp.float32,
+                model_mod=svtr):
     """images: (B, 48, W, 3) in [-1,1]; labels: (B, L) int32 (0 = blank /
     pad); label_paddings: (B, L) 1.0 where padded."""
-    logits = svtr.apply(params, images.astype(dtype)).astype(jnp.float32)
+    logits = model_mod.apply(params,
+                             images.astype(dtype)).astype(jnp.float32)
     B, T, V = logits.shape
     logit_paddings = jnp.zeros((B, T), jnp.float32)
     per_seq = optax.ctc_loss(logits, logit_paddings, labels, label_paddings,
@@ -34,11 +36,12 @@ def ctc_loss_fn(params, images, labels, label_paddings, dtype=jnp.float32):
 
 
 def make_train_step(optimizer: optax.GradientTransformation,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, model_mod=svtr):
     @jax.jit
     def step(params, opt_state, images, labels, label_paddings):
         loss, grads = jax.value_and_grad(ctc_loss_fn)(
-            params, images, labels, label_paddings, dtype)
+            params, images, labels, label_paddings, dtype,
+            model_mod=model_mod)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

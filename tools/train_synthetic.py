@@ -25,27 +25,30 @@ def asset_dir(*parts):
     return os.path.join(root, *parts)
 
 
-def train_rec(steps: int, batch: int, width: int, lr: float, out: str):
+def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
+              arch: str = "svtr", dict_rel: str = "ppocrv5/ppocrv5_dict.txt",
+              use_space: bool = True):
     from onnxocr_tpu import config as cfg
     from onnxocr_tpu.train import synth, rec_trainer
-    from onnxocr_tpu.models import svtr
+    from onnxocr_tpu.models import svtr, crnn
     from onnxocr_tpu.ops.ctc import CTCLabelDecode
     from onnxocr_tpu.utils import params_io
 
-    dict_path = cfg.find_asset("ppocrv5/ppocrv5_dict.txt")
-    dec = CTCLabelDecode(dict_path, use_space_char=True)
+    model_mod = crnn if arch == "crnn" else svtr
+    dict_path = cfg.find_asset(dict_rel)
+    dec = CTCLabelDecode(dict_path, use_space_char=use_space)
     vocab = len(dec.character)
     c2i = synth.charset_from_dict(dict_path)
-    print(f"vocab={vocab} renderable charset={len(c2i)}")
+    print(f"arch={arch} vocab={vocab} renderable charset={len(c2i)}")
     renderer = synth.TextRenderer(char_to_idx=c2i, seed=0)
 
     rng = jax.random.PRNGKey(0)
-    params = svtr.init(rng, vocab)
+    params = model_mod.init(rng, vocab)
     warmup = min(100, max(1, steps // 10))
     schedule = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, max(steps, warmup + 1), lr * 0.05)
     optimizer = optax.adamw(schedule, weight_decay=1e-5)
     opt_state = optimizer.init(params)
-    step_fn = rec_trainer.make_train_step(optimizer)
+    step_fn = rec_trainer.make_train_step(optimizer, model_mod=model_mod)
 
     # fixed label length so one compiled program serves all steps
     max_len = 14
@@ -72,7 +75,7 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str):
     from onnxocr_tpu.ops import ctc as ctc_ops
     imgs, labels, pads = renderer.rec_batch(8, width, max_len)
     idx, prob = ctc_ops.ctc_reduce_logits(
-        jax.jit(svtr.apply)(params, imgs).astype(jnp.float32))
+        jax.jit(model_mod.apply)(params, imgs).astype(jnp.float32))
     res = dec.decode_indices(np.asarray(idx), np.asarray(prob),
                              is_remove_duplicate=True)
     for i, (text, score) in enumerate(res):
@@ -121,10 +124,17 @@ if __name__ == "__main__":
     ap.add_argument("--size", type=int, default=320)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--arch", type=str, default="svtr",
+                    choices=["svtr", "crnn"])
+    ap.add_argument("--dict", type=str, dest="dict_rel",
+                    default="ppocrv5/ppocrv5_dict.txt")
+    ap.add_argument("--no-space", action="store_true")
     args = ap.parse_args()
     if args.which == "rec":
         out = args.out or asset_dir("ppocrv5", "rec", "native_params.npz")
-        train_rec(args.steps, args.batch, args.width, args.lr, out)
+        train_rec(args.steps, args.batch, args.width, args.lr, out,
+                  arch=args.arch, dict_rel=args.dict_rel,
+                  use_space=not args.no_space)
     else:
         out = args.out or asset_dir("ppocrv5", "det", "native_params.npz")
         train_det(args.steps, args.batch, args.size, args.lr, out)
