@@ -61,9 +61,11 @@ def test_model_registry_kwargs():
     # quirk: v4 inherits the default (v5) dict — no override key
     kw4 = em._get_model_kwargs("PP-OCRv4")
     assert "rec_char_dict_path" not in kw4
-    # server model: det/cls + v1 keys, no rec model override
+    # server model: det/cls + v1 keys; rec routes to the CRNN family dir
+    # (improvement over the reference, which ships no server rec)
     kws = em._get_model_kwargs("ch_ppocr_server_v2.0")
-    assert "rec_model_dir" not in kws
+    assert "ch_ppocr_server_v2.0/rec" in kws["rec_model_dir"].replace(
+        "\\", "/")
     assert "ppocr_keys_v1" in kws["rec_char_dict_path"]
     engine_mod.reset_engine_manager()
 
