@@ -16,10 +16,12 @@ import optax
 from ..models import dbnet
 
 
-def db_loss_fn(params, images, shrink_maps, shrink_masks, dtype=jnp.float32):
+def db_loss_fn(params, images, shrink_maps, shrink_masks, dtype=jnp.float32,
+               backbone_arch="mbv3"):
     """images (B,H,W,3) ImageNet-normalized; shrink_maps (B,H,W) ∈ {0,1};
     shrink_masks (B,H,W) valid-pixel mask."""
-    probs = dbnet.apply(params, images.astype(dtype)).astype(jnp.float32)
+    probs = dbnet.apply(params, images.astype(dtype),
+                        backbone_arch=backbone_arch).astype(jnp.float32)
     eps = 1e-6
     probs = jnp.clip(probs, eps, 1 - eps)
     bce = -(shrink_maps * jnp.log(probs) +
@@ -40,19 +42,20 @@ def db_loss_fn(params, images, shrink_maps, shrink_masks, dtype=jnp.float32):
 
 
 def make_train_step(optimizer: optax.GradientTransformation,
-                    dtype=jnp.float32):
+                    dtype=jnp.float32, backbone_arch="mbv3"):
     @jax.jit
     def step(params, opt_state, images, shrink_maps, shrink_masks):
         loss, grads = jax.value_and_grad(db_loss_fn)(
-            params, images, shrink_maps, shrink_masks, dtype)
+            params, images, shrink_maps, shrink_masks, dtype,
+            backbone_arch=backbone_arch)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
     return step
 
 
-def init_training(rng, lr: float = 1e-3):
-    params = dbnet.init(rng)
+def init_training(rng, lr: float = 1e-3, backbone_arch: str = "mbv3"):
+    params = dbnet.init(rng, backbone_arch=backbone_arch)
     optimizer = optax.adamw(lr, weight_decay=1e-5)
     opt_state = optimizer.init(params)
     return params, optimizer, opt_state

@@ -84,7 +84,8 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
         print(f"  pred={text!r} truth={truth!r} score={score:.2f}")
 
 
-def train_det(steps: int, batch: int, size: int, lr: float, out: str):
+def train_det(steps: int, batch: int, size: int, lr: float, out: str,
+              arch: str = "mbv3"):
     from onnxocr_tpu import config as cfg
     from onnxocr_tpu.train import synth, det_trainer
     from onnxocr_tpu.utils import params_io
@@ -94,12 +95,13 @@ def train_det(steps: int, batch: int, size: int, lr: float, out: str):
     renderer = synth.TextRenderer(char_to_idx=c2i, seed=1)
 
     rng = jax.random.PRNGKey(0)
-    params, optimizer, opt_state = det_trainer.init_training(rng, lr)
+    params, optimizer, opt_state = det_trainer.init_training(
+        rng, lr, backbone_arch=arch)
     warmup = min(100, max(1, steps // 10))
     schedule = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, max(steps, warmup + 1), lr * 0.05)
     optimizer = optax.adamw(schedule, weight_decay=1e-5)
     opt_state = optimizer.init(params)
-    step_fn = det_trainer.make_train_step(optimizer)
+    step_fn = det_trainer.make_train_step(optimizer, backbone_arch=arch)
 
     t0 = time.time()
     for step in range(steps):
@@ -129,6 +131,8 @@ if __name__ == "__main__":
     ap.add_argument("--dict", type=str, dest="dict_rel",
                     default="ppocrv5/ppocrv5_dict.txt")
     ap.add_argument("--no-space", action="store_true")
+    ap.add_argument("--det-arch", type=str, default="mbv3",
+                    choices=["mbv3", "resnet18"])
     args = ap.parse_args()
     if args.which == "rec":
         out = args.out or asset_dir("ppocrv5", "rec", "native_params.npz")
@@ -137,4 +141,5 @@ if __name__ == "__main__":
                   use_space=not args.no_space)
     else:
         out = args.out or asset_dir("ppocrv5", "det", "native_params.npz")
-        train_det(args.steps, args.batch, args.size, args.lr, out)
+        train_det(args.steps, args.batch, args.size, args.lr, out,
+                  arch=args.det_arch)
