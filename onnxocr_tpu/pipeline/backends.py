@@ -263,7 +263,7 @@ def resolve_backend(kind: str, model_path: str, requested: str,
                 f"{kind} model not found: {model_path}. Stage the .onnx "
                 "into onnxocr_tpu/assets/ (see tools/fetch_assets.py) or "
                 "use tpu_backend='native'.")
-        return "graph", model_path, None
+        return "graph", model_path, None, arch
 
     # native path
     params = None
@@ -273,9 +273,21 @@ def resolve_backend(kind: str, model_path: str, requested: str,
             params = lift.lift_cls(ir.load_model(model_path))
         except ValueError:
             # unknown cls variant → run the graph directly
-            return "graph", model_path, None
+            return "graph", model_path, None, arch
     if params is None and model_path:
         params = _load_native_params(model_path, kind, arch)
+    if params is None and kind == "det" and arch == "resnet18":
+        # no trained server-det checkpoint: a working mobile detector beats
+        # an untrained ResNet — fall back to the mbv3 family checkpoint
+        from .. import config as cfg_mod
+        fb = cfg_mod.find_asset("ppocrv5/det/native_params.npz")
+        if os.path.exists(fb):
+            import warnings
+            warnings.warn("det: no server (resnet18) checkpoint; falling "
+                          "back to the trained mbv3 detector")
+            from ..utils.params_io import load_tree
+            params = load_tree(fb)
+            arch = "mbv3"
     if params is None:
         if requested == "native" or not have_file:
             rng = 0  # host-side init seed
@@ -294,7 +306,7 @@ def resolve_backend(kind: str, model_path: str, requested: str,
                 "initialized native model (functional pipeline, untrained "
                 "outputs).")
         else:
-            return "graph", model_path, None
+            return "graph", model_path, None, arch
     if dtype != jnp.float32:
         params = cm.tree_cast(params, dtype)
-    return "native", model_path, params
+    return "native", model_path, params, arch

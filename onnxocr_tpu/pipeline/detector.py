@@ -40,7 +40,7 @@ class TextDetector:
         dtype = jnp.bfloat16 if getattr(args, "tpu_dtype", "float32") == \
             "bfloat16" else jnp.float32
         arch = backends.pick_arch("det", args.det_model_dir)
-        backend, path, params = backends.resolve_backend(
+        backend, path, params, arch = backends.resolve_backend(
             "det", args.det_model_dir,
             getattr(args, "tpu_backend", "auto"), dtype=dtype, arch=arch)
         self.forward = backends.DetForward(
