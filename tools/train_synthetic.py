@@ -27,7 +27,8 @@ def asset_dir(*parts):
 
 def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
               arch: str = "svtr", dict_rel: str = "ppocrv5/ppocrv5_dict.txt",
-              use_space: bool = True):
+              use_space: bool = True, init_from: str = "",
+              widths: tuple = ()):
     from onnxocr_tpu import config as cfg
     from onnxocr_tpu.train import synth, rec_trainer
     from onnxocr_tpu.models import svtr, crnn
@@ -44,17 +45,25 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
 
     rng = jax.random.PRNGKey(0)
     params = model_mod.init(rng, vocab)
+    if init_from and os.path.exists(init_from):
+        from onnxocr_tpu.utils import params_io as _pio
+        params = _pio.load_tree(init_from)
+        print(f"fine-tuning from {init_from}")
     warmup = min(100, max(1, steps // 10))
     schedule = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, max(steps, warmup + 1), lr * 0.05)
     optimizer = optax.adamw(schedule, weight_decay=1e-5)
     opt_state = optimizer.init(params)
     step_fn = rec_trainer.make_train_step(optimizer, model_mod=model_mod)
 
-    # fixed label length so one compiled program serves all steps
+    # fixed label length so one compiled program serves all steps;
+    # optional width mixing cycles through a small ladder (one compiled
+    # program per width)
     max_len = 14
+    width_cycle = list(widths) or [width]
     t0 = time.time()
     for step in range(steps):
-        imgs, labels, pads = renderer.rec_batch(batch, width, max_len)
+        w_cur = width_cycle[step % len(width_cycle)]
+        imgs, labels, pads = renderer.rec_batch(batch, w_cur, max_len)
         if labels.shape[1] < max_len:
             pad_n = max_len - labels.shape[1]
             labels = np.pad(labels, ((0, 0), (0, pad_n)))
@@ -133,12 +142,17 @@ if __name__ == "__main__":
     ap.add_argument("--no-space", action="store_true")
     ap.add_argument("--det-arch", type=str, default="mbv3",
                     choices=["mbv3", "resnet18"])
+    ap.add_argument("--init-from", type=str, default="")
+    ap.add_argument("--widths", type=str, default="",
+                    help="comma list for width-mixed training, e.g. 320,640")
     args = ap.parse_args()
     if args.which == "rec":
         out = args.out or asset_dir("ppocrv5", "rec", "native_params.npz")
+        widths = tuple(int(w) for w in args.widths.split(",") if w)
         train_rec(args.steps, args.batch, args.width, args.lr, out,
                   arch=args.arch, dict_rel=args.dict_rel,
-                  use_space=not args.no_space)
+                  use_space=not args.no_space, init_from=args.init_from,
+                  widths=widths)
     else:
         out = args.out or asset_dir("ppocrv5", "det", "native_params.npz")
         train_det(args.steps, args.batch, args.size, args.lr, out,
