@@ -179,6 +179,11 @@ DEFAULTS = {
     # per width bucket (the 180° flip is applied by homography selection on
     # device instead of a host round trip between cls and rec).
     "tpu_fused_cls_rec": True,
+    # Opt-in to randomly initialized weights when neither a model file nor
+    # a trained checkpoint exists (default: fail loudly like the reference
+    # does at session construction; env ONNXOCR_TPU_ALLOW_UNTRAINED=1 also
+    # enables it).
+    "tpu_allow_untrained": False,
 }
 
 

@@ -41,6 +41,11 @@ def fold_batchnorm(nodes: List[ir.Node], weights: Dict[str, np.ndarray],
     for n in nodes:
         if n.op_type != "BatchNormalization":
             continue
+        if n.outputs[0] in output_names:
+            # the rename map only rewrites node *inputs*; a BN that feeds a
+            # graph output directly must stay, or the executor would look up
+            # a name nothing produces
+            continue
         conv = producer.get(n.inputs[0])
         if conv is None or conv.op_type != "Conv":
             continue

@@ -246,15 +246,21 @@ def pick_arch(kind: str, model_path: str, algorithm: str = "") -> str:
 
 def resolve_backend(kind: str, model_path: str, requested: str,
                     vocab_size: int = 0, dtype=jnp.float32,
-                    arch: str = "mbv3"):
+                    arch: str = "mbv3", allow_untrained: bool = False):
     """Pick the backend for one stage.
 
     `requested` ∈ {auto, native, graph}. auto: lift weights into the native
     model when we know how (cls), else run the graph; if the .onnx file is
     missing (the reference snapshot ships without det/rec blobs,
     /root/reference/.MISSING_LARGE_BLOBS), fall back to the native model
-    with checkpoint or random init so the pipeline stays functional.
+    with a trained checkpoint.  Randomly initialized weights are an
+    explicit opt-in (`allow_untrained` / tpu_allow_untrained=True /
+    ONNXOCR_TPU_ALLOW_UNTRAINED=1): the reference fails loudly at session
+    construction when a model file is absent, and a silently-untrained
+    serving stage would pass warmup/readyz while returning garbage.
     """
+    allow_untrained = allow_untrained or \
+        os.environ.get("ONNXOCR_TPU_ALLOW_UNTRAINED", "") in ("1", "true")
     have_file = model_path and os.path.exists(model_path)
     if requested == "graph" or (requested == "auto" and have_file
                                 and kind != "cls"):
@@ -290,6 +296,15 @@ def resolve_backend(kind: str, model_path: str, requested: str,
             arch = "mbv3"
     if params is None:
         if requested == "native" or not have_file:
+            if not allow_untrained:
+                raise FileNotFoundError(
+                    f"{kind}: no weights found — neither a model file at "
+                    f"{model_path!r} nor a native checkpoint "
+                    "(native_params.npz) next to it. Stage assets (see "
+                    "tools/fetch_assets.py), train with "
+                    "tools/train_synthetic.py, or opt in to untrained "
+                    "weights with tpu_allow_untrained=True / "
+                    "ONNXOCR_TPU_ALLOW_UNTRAINED=1.")
             rng = 0  # host-side init seed
             if kind == "det":
                 params = dbnet.init(rng, backbone_arch=arch)

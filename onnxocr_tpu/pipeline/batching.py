@@ -15,11 +15,22 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 
+# Crops wider than the configured ladder (aspect ratio > ~26 at the 1280
+# default top) extend onto a coarse 320-px grid up to a hard cap instead of
+# being horizontally compressed (the reference grows imgW unboundedly,
+# predict_rec.py:295-306). The grid keeps the compiled-shape set bounded:
+# at most (WIDTH_HARD_CAP - ladder_top)/WIDTH_EXTEND_STEP extra shapes.
+WIDTH_EXTEND_STEP = 320
+WIDTH_HARD_CAP = 3200
+
+
 def pick_width_bucket(desired_w: int, ladder: Sequence[int]) -> int:
     for w in ladder:
         if desired_w <= w:
             return w
-    return ladder[-1]
+    if desired_w >= WIDTH_HARD_CAP:
+        return WIDTH_HARD_CAP
+    return int(math.ceil(desired_w / WIDTH_EXTEND_STEP) * WIDTH_EXTEND_STEP)
 
 
 def pick_batch_bucket(n: int, ladder: Sequence[int]) -> int:

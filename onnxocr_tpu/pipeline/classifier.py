@@ -38,7 +38,8 @@ class TextClassifier:
             "bfloat16" else jnp.float32
         backend, path, params, _arch = backends.resolve_backend(
             "cls", args.cls_model_dir, getattr(args, "tpu_backend", "auto"),
-            dtype=dtype)
+            dtype=dtype,
+            allow_untrained=getattr(args, "tpu_allow_untrained", False))
         self.forward = backends.ClsForward(backend, path, params, dtype)
 
     def _forward_batches(self, crops: np.ndarray) -> np.ndarray:

@@ -42,7 +42,8 @@ class TextDetector:
         arch = backends.pick_arch("det", args.det_model_dir)
         backend, path, params, arch = backends.resolve_backend(
             "det", args.det_model_dir,
-            getattr(args, "tpu_backend", "auto"), dtype=dtype, arch=arch)
+            getattr(args, "tpu_backend", "auto"), dtype=dtype, arch=arch,
+            allow_untrained=getattr(args, "tpu_allow_untrained", False))
         self.forward = backends.DetForward(
             backend, path, params, dtype,
             map_dtype=getattr(args, "tpu_det_map_dtype", "float32"),

@@ -47,7 +47,8 @@ class TextRecognizer:
         backend, path, params, arch = backends.resolve_backend(
             "rec", args.rec_model_dir, getattr(args, "tpu_backend", "auto"),
             vocab_size=len(self.postprocess_op.character), dtype=dtype,
-            arch=arch)
+            arch=arch,
+            allow_untrained=getattr(args, "tpu_allow_untrained", False))
         self.forward = backends.RecForward(backend, path, params, dtype)
         self.forward.arch = arch
 

@@ -98,7 +98,13 @@ class TextSystem:
     def _call_device_crops(self, img, cls: bool):
         from ..utils.profiling import GLOBAL as timer
         image_dev = None
-        if getattr(self.args, "tpu_det_input", "device") == "device":
+        # tiny-image quirk (reference operators.py:72-76): images with
+        # h+w < 64 are zero-padded to >=32 before resize — only the host
+        # path (det_pre.prepare_det_input) replicates that, so route tiny
+        # images there to keep box-geometry parity.
+        tiny = img.shape[0] + img.shape[1] < 64
+        if not tiny and \
+                getattr(self.args, "tpu_det_input", "device") == "device":
             # one upload: det resizes on device from the same HBM image the
             # crop warps read (ops/resize_dev.py)
             from ..ops import resize_dev

@@ -19,44 +19,127 @@ FONTS = [
     "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
     "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
     "/usr/share/fonts/truetype/dejavu/DejaVuSerif.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Bold.ttf",
     "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+    "/usr/share/fonts/truetype/dejavu/DejaVuSansMono-Bold.ttf",
 ]
 
 DEFAULT_CHARSET = string.ascii_letters + string.digits + \
     " .,:;!?%()+-*/='\"&@#$"
 
 
+def _font_coverage(path) -> set:
+    """Set of unicode codepoints a font file can actually draw, read from
+    its cmap (fontTools).  Falls back to an empty set when unreadable."""
+    try:
+        from fontTools.ttLib import TTFont
+        return set(TTFont(path, lazy=True).getBestCmap().keys())
+    except Exception:
+        return set()
+
+
+def _drawable(c: str) -> bool:
+    """Filter out chars that would poison training data: combining marks,
+    controls/format chars, non-space separators, and RTL scripts (PIL
+    without raqm renders RTL text in logical order — visually wrong)."""
+    import unicodedata
+    if c == " ":
+        return True
+    cat = unicodedata.category(c)
+    if cat[0] in ("M", "C") or cat.startswith("Z"):
+        return False
+    if unicodedata.bidirectional(c) in ("R", "AL", "AN"):
+        return False
+    return True
+
+
 class TextRenderer:
-    def __init__(self, charset: str = DEFAULT_CHARSET,
+    """Renders labelled text lines for det/rec training.
+
+    ``charset`` may include any unicode chars; each font only draws the
+    subset its cmap covers, so sampling is done per font: pick a font,
+    then draw chars from that font's renderable subset.  With the full
+    PP-OCRv5 dict this reaches ~1.3k chars (latin incl. extended, Greek,
+    Cyrillic, arrows/symbols) — the trainable-charset ceiling of the
+    DejaVu fonts in this image.  ``ascii_bias`` is the probability a line
+    samples only from the latin/digit/punct core, mirroring real-corpus
+    frequency so the common glyphs stay sharply trained.
+    """
+
+    def __init__(self, charset: Optional[str] = None,
                  char_to_idx: Optional[Dict[str, int]] = None,
-                 seed: int = 0):
+                 seed: int = 0, ascii_bias: float = 0.5):
         from PIL import ImageFont
-        self.charset = [c for c in charset
-                        if char_to_idx is None or c in char_to_idx]
+        if charset is None:
+            charset = ("".join(char_to_idx) if char_to_idx is not None
+                       else DEFAULT_CHARSET)
+        pool = [c for c in dict.fromkeys(charset)
+                if (char_to_idx is None or c in char_to_idx) and _drawable(c)]
         self.char_to_idx = char_to_idx
+        self.ascii_bias = ascii_bias
         self.rng = np.random.default_rng(seed)
         self._fonts = {}
+        self._font_chars: Dict[Tuple[str, int], list] = {}
+        self._font_sets: Dict[Tuple[str, int], set] = {}
+        self._font_core: Dict[Tuple[str, int], list] = {}
+        core = set(DEFAULT_CHARSET)
+        covered = set()
         for path in FONTS:
+            cps = _font_coverage(path)
+            chars = [c for c in pool if ord(c) in cps or c == " "]
+            if not chars:
+                continue
             for size in (20, 26, 32, 38, 44):
                 try:
-                    self._fonts[(path, size)] = ImageFont.truetype(path, size)
+                    font = ImageFont.truetype(path, size)
                 except OSError:
-                    pass
+                    continue
+                key = (path, size)
+                self._fonts[key] = font
+                self._font_chars[key] = chars
+                self._font_sets[key] = set(chars)
+                self._font_core[key] = [c for c in chars if c in core]
+            covered.update(chars)
         assert self._fonts, "no usable fonts"
+        # chars renderable by at least one font, in pool order
+        self.charset = [c for c in pool if c in covered]
 
-    def random_text(self, max_len: int = 18) -> str:
+    def _pick_font(self) -> Tuple[str, int]:
+        keys = list(self._fonts)
+        return keys[int(self.rng.integers(len(keys)))]
+
+    def random_text(self, max_len: int = 18,
+                    font_key: Optional[Tuple[str, int]] = None) -> str:
+        if font_key is None:
+            pool = self.charset
+        else:
+            pool = self._font_chars[font_key]
+            corepool = self._font_core[font_key]
+            if corepool and self.rng.random() < self.ascii_bias:
+                pool = corepool
         n = int(self.rng.integers(1, max_len + 1))
-        chars = self.rng.choice(list(self.charset), size=n)
-        return "".join(chars).strip() or "a"
+        chars = self.rng.choice(pool, size=n)
+        return "".join(chars).strip() or pool[0]
+
+    def sample_line(self, max_len: int = 18) -> Tuple[str, Tuple[str, int]]:
+        """Pick a font, then text the font can fully draw."""
+        key = self._pick_font()
+        return self.random_text(max_len, font_key=key), key
 
     def render_line(self, text: str, height: int = 48,
-                    max_width: int = 320) -> np.ndarray:
+                    max_width: int = 320,
+                    font_key: Optional[Tuple[str, int]] = None) -> np.ndarray:
         """Render one text line into a (height, w<=max_width, 3) BGR uint8
         image with random colors/contrast/noise."""
         from PIL import Image, ImageDraw
         rng = self.rng
-        key = list(self._fonts)[int(rng.integers(len(self._fonts)))]
-        font = self._fonts[key]
+        if font_key is None:
+            # pick among fonts that cover every char of the text
+            cands = [k for k, chars in self._font_sets.items()
+                     if all(c in chars for c in text)]
+            keys = cands or list(self._fonts)
+            font_key = keys[int(rng.integers(len(keys)))]
+        font = self._fonts[font_key]
         # measure
         tmp = Image.new("L", (8, 8))
         d = ImageDraw.Draw(tmp)
@@ -114,10 +197,11 @@ class TextRenderer:
                                     value=(bg, bg, bg))
         # neighbor-line clutter in the vertical margins
         if rng.random() < 0.5 and (top > 2 or bot > 2):
-            clutter = self.render_line(self.random_text(12),
+            ctext, cfont = self.sample_line(12)
+            clutter = self.render_line(ctext,
                                        max(8, int(lh * rng.uniform(0.7,
                                                                    1.2))),
-                                       framed.shape[1])
+                                       framed.shape[1], font_key=cfont)
             ch_, cw_ = clutter.shape[:2]
             fw_ = framed.shape[1]
             x0 = int(rng.integers(0, max(1, fw_ - min(cw_, fw_) + 1)))
@@ -143,8 +227,8 @@ class TextRenderer:
         imgs = np.zeros((batch, 48, width, 3), np.float32)
         texts = []
         for i in range(batch):
-            t = self.random_text(max_len)
-            line = self.render_line(t, 48, width)
+            t, fkey = self.sample_line(max_len)
+            line = self.render_line(t, 48, width, font_key=fkey)
             if margins and self.rng.random() < 0.8:
                 line = self.add_margins(line, 48, width)
             w = line.shape[1]
@@ -176,9 +260,9 @@ class TextRenderer:
         shrink_map = np.zeros((size, size), np.float32)
         n_lines = int(rng.integers(2, max_lines + 1))
         for _ in range(n_lines):
-            text = self.random_text(12)
+            text, fkey = self.sample_line(12)
             h = int(rng.integers(14, 40))
-            line = self.render_line(text, h, size - 8)
+            line = self.render_line(text, h, size - 8, font_key=fkey)
             lh, lw = line.shape[:2]
             for _try in range(10):
                 x0 = int(rng.integers(0, size - lw)) if size > lw else 0
@@ -211,11 +295,15 @@ class TextRenderer:
         return imgs, maps, masks
 
 
-def charset_from_dict(dict_path: str, charset: str = DEFAULT_CHARSET
+def charset_from_dict(dict_path: str,
+                      charset: Optional[str] = DEFAULT_CHARSET
                       ) -> Dict[str, int]:
-    """Map renderable chars → PP-OCRv5 dict indices (blank-first scheme,
-    matching ops/ctc.CTCLabelDecode)."""
+    """Map renderable chars → dict indices (blank-first scheme, matching
+    ops/ctc.CTCLabelDecode).  charset=None → every single-char entry of
+    the dictionary (TextRenderer then intersects with font coverage)."""
     from ..ops.ctc import CTCLabelDecode
     dec = CTCLabelDecode(dict_path, use_space_char=True)
     lookup = {c: i for i, c in enumerate(dec.character)}
+    if charset is None:
+        return {c: i for c, i in lookup.items() if len(c) == 1}
     return {c: lookup[c] for c in charset if c in lookup}

@@ -56,7 +56,11 @@ def test_batching_buckets():
     assert batching.pick_width_bucket(100, ladder) == 320
     assert batching.pick_width_bucket(480, ladder) == 480
     assert batching.pick_width_bucket(481, ladder) == 640
-    assert batching.pick_width_bucket(9999, ladder) == 640
+    # beyond the ladder top: extend on the 320-px grid up to the hard cap
+    # instead of compressing very wide lines (ADVICE r1)
+    assert batching.pick_width_bucket(700, ladder) == 960
+    assert batching.pick_width_bucket(1921, ladder) == 2240
+    assert batching.pick_width_bucket(9999, ladder) == batching.WIDTH_HARD_CAP
     groups = batching.group_by_bucket([100, 500, 300, 481], ladder)
     assert groups == {320: [0, 2], 640: [1, 3]}
     assert batching.pick_batch_bucket(3, (1, 2, 4, 8)) == 4

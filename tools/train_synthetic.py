@@ -28,7 +28,8 @@ def asset_dir(*parts):
 def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
               arch: str = "svtr", dict_rel: str = "ppocrv5/ppocrv5_dict.txt",
               use_space: bool = True, init_from: str = "",
-              widths: tuple = ()):
+              widths: tuple = (), charset: str = "full", seed: int = 0,
+              max_len: int = 14):
     from onnxocr_tpu import config as cfg
     from onnxocr_tpu.train import synth, rec_trainer
     from onnxocr_tpu.models import svtr, crnn
@@ -39,11 +40,14 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
     dict_path = cfg.find_asset(dict_rel)
     dec = CTCLabelDecode(dict_path, use_space_char=use_space)
     vocab = len(dec.character)
-    c2i = synth.charset_from_dict(dict_path)
-    print(f"arch={arch} vocab={vocab} renderable charset={len(c2i)}")
-    renderer = synth.TextRenderer(char_to_idx=c2i, seed=0)
+    c2i = synth.charset_from_dict(
+        dict_path,
+        charset=None if charset == "full" else synth.DEFAULT_CHARSET)
+    renderer = synth.TextRenderer(char_to_idx=c2i, seed=seed)
+    print(f"arch={arch} vocab={vocab} dict-mapped={len(c2i)} "
+          f"renderable={len(renderer.charset)}")
 
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(seed)
     params = model_mod.init(rng, vocab)
     if init_from and os.path.exists(init_from):
         from onnxocr_tpu.utils import params_io as _pio
@@ -58,7 +62,6 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
     # fixed label length so one compiled program serves all steps;
     # optional width mixing cycles through a small ladder (one compiled
     # program per width)
-    max_len = 14
     width_cycle = list(widths) or [width]
     t0 = time.time()
     for step in range(steps):
@@ -93,19 +96,43 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
         print(f"  pred={text!r} truth={truth!r} score={score:.2f}")
 
 
+def _graft_matching(dst, src):
+    """Copy leaves from src into dst wherever the tree paths exist in both
+    and the shapes match (warm-starting a different backbone keeps the FPN
+    smooth convs + head). Returns (tree, n_copied)."""
+    copied = 0
+
+    def rec(d, s):
+        nonlocal copied
+        if isinstance(d, dict) and isinstance(s, dict):
+            return {k: rec(v, s[k]) if k in s else v for k, v in d.items()}
+        if isinstance(d, list) and isinstance(s, list):
+            return [rec(dv, sv) for dv, sv in zip(d, s)] + d[len(s):]
+        if hasattr(d, "shape") and hasattr(s, "shape") and d.shape == s.shape:
+            copied += 1
+            return np.asarray(s, dtype=d.dtype)
+        return d
+
+    return rec(dst, src), copied
+
+
 def train_det(steps: int, batch: int, size: int, lr: float, out: str,
-              arch: str = "mbv3"):
+              arch: str = "mbv3", seed: int = 0, init_from: str = ""):
     from onnxocr_tpu import config as cfg
     from onnxocr_tpu.train import synth, det_trainer
     from onnxocr_tpu.utils import params_io
 
     dict_path = cfg.find_asset("ppocrv5/ppocrv5_dict.txt")
-    c2i = synth.charset_from_dict(dict_path)
-    renderer = synth.TextRenderer(char_to_idx=c2i, seed=1)
+    c2i = synth.charset_from_dict(dict_path, charset=None)
+    renderer = synth.TextRenderer(char_to_idx=c2i, seed=seed + 1)
 
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(seed)
     params, optimizer, opt_state = det_trainer.init_training(
         rng, lr, backbone_arch=arch)
+    if init_from and os.path.exists(init_from):
+        donor = params_io.load_tree(init_from)
+        params, n = _graft_matching(params, donor)
+        print(f"warm-started {n} matching tensors from {init_from}")
     warmup = min(100, max(1, steps // 10))
     schedule = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, max(steps, warmup + 1), lr * 0.05)
     optimizer = optax.adamw(schedule, weight_decay=1e-5)
@@ -145,6 +172,11 @@ if __name__ == "__main__":
     ap.add_argument("--init-from", type=str, default="")
     ap.add_argument("--widths", type=str, default="",
                     help="comma list for width-mixed training, e.g. 320,640")
+    ap.add_argument("--charset", type=str, default="full",
+                    choices=["full", "ascii"],
+                    help="full = every dict char the fonts can render")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-len", type=int, default=14)
     args = ap.parse_args()
     if args.which == "rec":
         out = args.out or asset_dir("ppocrv5", "rec", "native_params.npz")
@@ -152,8 +184,10 @@ if __name__ == "__main__":
         train_rec(args.steps, args.batch, args.width, args.lr, out,
                   arch=args.arch, dict_rel=args.dict_rel,
                   use_space=not args.no_space, init_from=args.init_from,
-                  widths=widths)
+                  widths=widths, charset=args.charset, seed=args.seed,
+                  max_len=args.max_len)
     else:
         out = args.out or asset_dir("ppocrv5", "det", "native_params.npz")
         train_det(args.steps, args.batch, args.size, args.lr, out,
-                  arch=args.det_arch)
+                  arch=args.det_arch, seed=args.seed,
+                  init_from=args.init_from)
