@@ -179,6 +179,12 @@ DEFAULTS = {
     # per width bucket (the 180° flip is applied by homography selection on
     # device instead of a host round trip between cls and rec).
     "tpu_fused_cls_rec": True,
+    # Cross-request det page batching: concurrent images' DBNet forwards
+    # coalesce into one device call (runtime/batcher.DetPageBatcher). Adds
+    # up to tpu_microbatch_wait_ms latency per call, so it defaults off for
+    # the library and is enabled by the serving engine / batch layer.
+    "tpu_det_microbatch": False,
+    "tpu_microbatch_wait_ms": 8.0,
     # Opt-in to randomly initialized weights when neither a model file nor
     # a trained checkpoint exists (default: fail loudly like the reference
     # does at session construction; env ONNXOCR_TPU_ALLOW_UNTRAINED=1 also

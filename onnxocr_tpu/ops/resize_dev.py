@@ -22,11 +22,10 @@ import jax.numpy as jnp
 from . import det_pre
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
-def resize_normalize_det(image_u8: jax.Array, src_h: jax.Array,
-                         src_w: jax.Array, resize_h: jax.Array,
-                         resize_w: jax.Array, out_h: int,
-                         out_w: int) -> jax.Array:
+def _resize_normalize_det(image_u8: jax.Array, src_h: jax.Array,
+                          src_w: jax.Array, resize_h: jax.Array,
+                          resize_w: jax.Array, out_h: int,
+                          out_w: int) -> jax.Array:
     """image_u8: (Hs, Ws, 3) padded source (valid region src_h × src_w).
     Returns (out_h, out_w, 3) float32 normalized det input whose top-left
     resize_h × resize_w region is the bilinear resize of the valid source.
@@ -68,6 +67,22 @@ def resize_normalize_det(image_u8: jax.Array, src_h: jax.Array,
     row_mask = (jnp.arange(out_h) < resize_h)[:, None, None]
     col_mask = (jnp.arange(out_w) < resize_w)[None, :, None]
     return jnp.where(row_mask & col_mask, norm, 0.0).astype(jnp.float32)
+
+
+resize_normalize_det = functools.partial(
+    jax.jit, static_argnames=("out_h", "out_w"))(_resize_normalize_det)
+
+
+def resize_normalize_det_batch(images_u8, src_hs, src_ws, resize_hs,
+                               resize_ws, out_h: int, out_w: int):
+    """Batched variant (for engine-level det batching): images_u8
+    (B, Hs, Ws, 3) sharing one source bucket; per-page valid/resize extents.
+    → (B, out_h, out_w, 3). NOT jitted here — meant to be traced inside the
+    caller's fused resize+forward program."""
+    return jax.vmap(_resize_normalize_det,
+                    in_axes=(0, 0, 0, 0, 0, None, None)
+                    )(images_u8, src_hs, src_ws, resize_hs, resize_ws,
+                      out_h, out_w)
 
 
 def pad_src_bucket(img: np.ndarray, granularity: int = 256

@@ -22,38 +22,40 @@ class ONNXPaddleOcr(TextSystem):
         super().__init__(params)
 
     def ocr(self, img, det: bool = True, rec: bool = True, cls: bool = True):
+        """Result shapes (all wrapped in a one-element outer list, quirk
+        #1/#5/#9 in SURVEY.md §7):
+
+        det+rec      → [[[box_as_lists, (text, score)], ...]]
+        det only     → [[box_as_lists, ...]]   (unfiltered by drop_score)
+        cls+rec/rec  → [[(text, score), ...]]  over a crop list
+        cls only     → [[(label, prob), ...]]
+        """
         if cls and not self.use_angle_cls:
+            # observable stdout contract, typo included ("uesd"):
+            # reference onnx_paddleocr.py:31-33
             print("Since the angle classifier is not initialized, "
                   "the angle classifier will not be uesd during the forward "
                   "process")
 
-        if det and rec:
-            ocr_res = []
-            dt_boxes, rec_res = self.__call__(img, cls)
-            tmp_res = [[np.asarray(box).tolist(), res]
-                       for box, res in zip(dt_boxes, rec_res)]
-            ocr_res.append(tmp_res)
-            return ocr_res
-        elif det and not rec:
-            ocr_res = []
-            dt_boxes = self.text_detector(img)
-            tmp_res = [np.asarray(box).tolist() for box in dt_boxes]
-            ocr_res.append(tmp_res)
-            return ocr_res
-        else:
-            ocr_res = []
-            cls_res = []
-            if not isinstance(img, list):
-                img = [img]
-            if self.use_angle_cls and cls:
-                img, cls_res_tmp = self.text_classifier(img)
-                if not rec:
-                    cls_res.append(cls_res_tmp)
-            rec_res = self.text_recognizer(img)
-            ocr_res.append(rec_res)
+        if det:
             if not rec:
-                return cls_res
-            return ocr_res
+                return [[np.asarray(b).tolist()
+                         for b in self.text_detector(img)]]
+            boxes, texts = self(img, cls)
+            return [[[np.asarray(b).tolist(), t]
+                     for b, t in zip(boxes, texts)]]
+
+        # detector off: the input is a crop (or list of crops)
+        crops = img if isinstance(img, list) else [img]
+        if self.use_angle_cls and cls:
+            crops, verdicts = self.text_classifier(crops)
+            if not rec:
+                return [verdicts]
+        if not rec:
+            # quirk: rec=False without an active classifier yields [] —
+            # the reference returns its (empty) cls result list here
+            return []
+        return [self.text_recognizer(crops)]
 
 
 def sav2Img(org_img, result, name: str = "draw_ocr.jpg"):

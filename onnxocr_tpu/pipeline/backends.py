@@ -125,6 +125,61 @@ class DetForward:
             self._jit_f32 = jax.jit(fn)
         return self._jit_f32(x_f32)
 
+    # --- engine-level page batching, fixed det bucket: N host-resized pages
+    # → N prob maps in ONE device call. All pages share one canvas shape, so
+    # the only compile axis is the batch-size ladder.
+    def call_pages_u8(self, pages_u8: np.ndarray) -> jax.Array:
+        """pages_u8 (B, Hb, Wb, 3) uint8 zero-padded det inputs →
+        (B, Hb, Wb) encoded prob maps."""
+        if getattr(self, "_jit_pages_u8", None) is None:
+
+            def fn(pages):
+                x = det_pre.normalize_det(pages).astype(self.dtype)
+                if self.backend == "native":
+                    prob = dbnet.apply(self.params, x,
+                                       backbone_arch=self.arch)
+                else:
+                    xt = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
+                    out = self.executor._interpret(
+                        self.executor._get_device_weights(),
+                        {self.executor.input_names[0]: xt})[0]
+                    prob = out[:, 0]
+                return self._encode(prob.astype(jnp.float32))
+
+            self._jit_pages_u8 = jax.jit(fn)
+        return self._jit_pages_u8(pages_u8)
+
+    # --- engine-level page batching: N source pages → N prob maps in ONE
+    # device call (resize + forward + encode fused). Pages share a source
+    # bucket and a det bucket; per-page valid/resize extents ride along as
+    # traced scalars so arbitrary page sizes reuse the compiled program.
+    def call_pages(self, images_u8: np.ndarray, src_hw: np.ndarray,
+                   resize_hw: np.ndarray, out_h: int, out_w: int
+                   ) -> jax.Array:
+        """images_u8 (B, Hs, Ws, 3) uint8 edge-padded pages; src_hw (B, 2)
+        and resize_hw (B, 2) int32 → (B, out_h, out_w) encoded maps."""
+        if getattr(self, "_jit_pages", None) is None:
+            from ..ops import resize_dev
+
+            def fn(imgs, shw, rhw, out_h, out_w):
+                x = resize_dev.resize_normalize_det_batch(
+                    imgs, shw[:, 0], shw[:, 1], rhw[:, 0], rhw[:, 1],
+                    out_h, out_w).astype(self.dtype)
+                if self.backend == "native":
+                    prob = dbnet.apply(self.params, x,
+                                       backbone_arch=self.arch)
+                else:
+                    xt = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
+                    out = self.executor._interpret(
+                        self.executor._get_device_weights(),
+                        {self.executor.input_names[0]: xt})[0]
+                    prob = out[:, 0]
+                return self._encode(prob.astype(jnp.float32))
+
+            self._jit_pages = jax.jit(fn, static_argnames=("out_h", "out_w"))
+        return self._jit_pages(images_u8, src_hw, resize_hw,
+                               out_h=out_h, out_w=out_w)
+
 
 class ClsForward:
     """(N, 48, 192, 3) float32 in [-1,1] → (N, 2) softmax probs."""

@@ -48,6 +48,23 @@ class TextDetector:
             backend, path, params, dtype,
             map_dtype=getattr(args, "tpu_det_map_dtype", "float32"),
             arch=arch)
+        self._page_batcher = None
+        if getattr(args, "tpu_det_microbatch", False):
+            self.enable_page_batching(
+                max_wait_ms=float(getattr(args, "tpu_microbatch_wait_ms",
+                                          8.0)))
+
+    def enable_page_batching(self, max_wait_ms: float = 8.0) -> bool:
+        """Cross-request det batching: concurrent pages share one DBNet
+        device call (runtime/batcher.DetPageBatcher). Requires the default
+        limit_type='max' sizing (bounded canvas); returns False otherwise."""
+        if self.image_shape is not None or self.limit_type != "max":
+            return False
+        from ..runtime.batcher import DetPageBatcher
+        self._page_batcher = DetPageBatcher(
+            self.forward, self.limit_side_len, self.limit_type,
+            max_wait_ms=max_wait_ms)
+        return True
 
     def order_points_clockwise(self, pts: np.ndarray) -> np.ndarray:
         return geometry.order_points_clockwise(pts)
@@ -130,5 +147,8 @@ class TextDetector:
         return self.filter_tag_det_res(dt_boxes, ori_shape)
 
     def __call__(self, img: np.ndarray) -> Optional[np.ndarray]:
-        prob, shape_info = self.infer_prob_map(img)
+        if self._page_batcher is not None:
+            prob, shape_info = self._page_batcher.submit(img)
+        else:
+            prob, shape_info = self.infer_prob_map(img)
         return self.boxes_from_prob(prob, shape_info, img.shape)

@@ -103,7 +103,15 @@ class TextSystem:
         # path (det_pre.prepare_det_input) replicates that, so route tiny
         # images there to keep box-geometry parity.
         tiny = img.shape[0] + img.shape[1] < 64
-        if not tiny and \
+        if self.text_detector._page_batcher is not None:
+            # cross-request batched det: host reference-resize, shared
+            # device forward; the source uploads separately for the warps
+            with timer.stage("det"):
+                prob, shape_info = \
+                    self.text_detector._page_batcher.submit(img)
+                dt_boxes = self.text_detector.boxes_from_prob(
+                    prob, shape_info, img.shape)
+        elif not tiny and \
                 getattr(self.args, "tpu_det_input", "device") == "device":
             # one upload: det resizes on device from the same HBM image the
             # crop warps read (ops/resize_dev.py)

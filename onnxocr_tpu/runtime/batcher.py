@@ -117,6 +117,49 @@ class MicroBatcher:
                         w.event.set()
 
 
+class DetPageBatcher:
+    """Cross-request detector batching (SURVEY §7 "kill the per-image
+    session-run pattern"): each page is resized on host with the exact
+    reference arithmetic (det_pre.prepare_det_input) into ONE fixed det
+    canvas — so the only compile axis is the batch ladder — and concurrent
+    pages run the DBNet forward as a single device call via a MicroBatcher.
+
+    Only valid for limit_type='max' (the canvas bounds the resize target);
+    callers fall back to the unbatched path otherwise.
+    """
+
+    def __init__(self, det_forward, limit_side_len: float = 960,
+                 limit_type: str = "max", max_wait_ms: float = 8.0,
+                 batch_ladder: Sequence[int] = (1, 2, 4, 8)):
+        from ..ops import det_pre
+        assert limit_type == "max"
+        self.forward = det_forward
+        self.limit_side_len = limit_side_len
+        self.limit_type = limit_type
+        self.side = det_pre.round_up(int(limit_side_len), 32)
+        self.batcher = MicroBatcher(det_forward.call_pages_u8,
+                                    max_batch=batch_ladder[-1],
+                                    max_wait_ms=max_wait_ms,
+                                    batch_ladder=batch_ladder)
+
+    def close(self):
+        self.batcher.close()
+
+    def submit(self, img: np.ndarray):
+        """BGR page → (prob_map (rh, rw) float32, shape_info)."""
+        from ..ops import det_pre
+        padded, shape_info, (rh, rw) = det_pre.prepare_det_input(
+            img, self.limit_side_len, self.limit_type, bucket=self.side)
+        if padded.shape[:2] != (self.side, self.side):
+            # defensive: an off-canvas resize target (shouldn't happen for
+            # limit_type='max') runs unbatched
+            out = np.asarray(self.forward(padded))
+            return self.forward.decode_map(out)[:rh, :rw], shape_info
+        out = self.batcher.submit(padded[None])
+        return self.forward.decode_map(np.asarray(out[0]))[:rh, :rw], \
+            shape_info
+
+
 class BatchedForward:
     """Wrap a *Forward so its __call__ goes through a MicroBatcher."""
 

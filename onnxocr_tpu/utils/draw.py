@@ -1,20 +1,31 @@
 """Result visualization: boxes overlay + text panel.
 
-Reference: onnxocr/utils.py:91-235 (draw_ocr, text_visual, str_count). The
-bundled font (simfang.ttf) is a missing large blob in the reference snapshot
-(.MISSING_LARGE_BLOBS:1); we fall back to any available system/PIL font so
-visualization degrades gracefully instead of crashing.
+Mirrors the *visual contract* of the reference renderer (onnxocr/utils.py:
+91-235): red quad outlines on the image, and a white side panel listing
+"N: text  score" rows at 20px font, wrapped to the panel width and
+paginated into extra panels stacked horizontally. The layout constants
+(wrap budget ``img_w//font_size - 4``, row pitch ``font_size + 5``) are
+kept so outputs look the same; the implementation is a two-phase
+wrap-then-paint design of our own.
+
+The bundled font (simfang.ttf) is a missing large blob in the reference
+snapshot (.MISSING_LARGE_BLOBS:1); we fall back to any available system/PIL
+font so visualization degrades gracefully instead of crashing.
 """
 from __future__ import annotations
 
 import math
 import string
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from .image import resize_img
 from .. import config as cfg_mod
+
+_FONT_SIZE = 20
+_ROW_PITCH = _FONT_SIZE + 5
+_INK = (0, 0, 0)
 
 
 def _load_font(font_path: Optional[str], size: int):
@@ -36,97 +47,88 @@ def _load_font(font_path: Optional[str], size: int):
 
 
 def str_count(s) -> int:
-    """Width heuristic: CJK chars count 1, latin/digit/space count 1/2
-    (reference utils.py:91-113)."""
-    count_zh = count_pu = 0
-    s_len = len(str(s))
-    en_dg_count = 0
-    for c in str(s):
-        if c in string.ascii_letters or c.isdigit() or c.isspace():
-            en_dg_count += 1
-        elif c.isalpha():
-            count_zh += 1
+    """Display-width heuristic (reference utils.py:91-113 semantics):
+    fullwidth glyphs weigh 1, halfwidth latin/digits/whitespace weigh 1/2
+    (rounded up as a group)."""
+    text = str(s)
+    halfwidth = sum(1 for c in text
+                    if c in string.ascii_letters or c.isdigit()
+                    or c.isspace())
+    return len(text) - math.ceil(halfwidth / 2)
+
+
+def _wrap_rows(texts: List[str], scores, threshold: float, budget: int
+               ) -> List[str]:
+    """Flatten (text, score) pairs into display rows: the first row of an
+    entry is numbered, continuation rows are indented, and the last row
+    carries the score."""
+    rows: List[str] = []
+    shown = 0
+    for txt, score in zip(texts, scores):
+        if score < threshold or math.isnan(score):
+            continue
+        shown += 1
+        head = True
+        remaining = str(txt)
+        while str_count(remaining) >= budget:
+            piece, remaining = remaining[:budget], remaining[budget:]
+            rows.append((f"{shown}: " if head else "    ") + piece)
+            head = False
+        if head:
+            rows.append(f"{shown}: {remaining}   {score:.3f}")
         else:
-            count_pu += 1
-    return s_len - math.ceil(en_dg_count / 2)
+            rows.append(f"  {remaining}  {score:.3f}")
+    return rows
 
 
 def text_visual(texts: List[str], scores, img_h: int = 400, img_w: int = 600,
                 threshold: float = 0.0, font_path: Optional[str] = None
                 ) -> np.ndarray:
+    """Render recognized texts into one or more (img_h, img_w) panels,
+    concatenated horizontally when the rows overflow one panel."""
     from PIL import Image, ImageDraw
     if scores is not None:
         assert len(texts) == len(scores), \
             "The number of txts and corresponding scores must match"
 
-    def create_blank_img():
-        # (uint8 here; the reference's int8*255 trips numpy>=2 overflow
-        # checks — the intent is a white panel with a black right border)
-        blank = np.full((img_h, img_w), 255, dtype=np.uint8)
-        blank[:, img_w - 1:] = 0
-        blank = Image.fromarray(blank).convert("RGB")
-        return blank, ImageDraw.Draw(blank)
+    font = _load_font(font_path, _FONT_SIZE)
+    budget = img_w // _FONT_SIZE - 4
+    rows = _wrap_rows(texts, scores, threshold, budget)
+    rows_per_panel = max(1, img_h // _ROW_PITCH - 1)
 
-    blank_img, draw_txt = create_blank_img()
-    font_size = 20
-    txt_color = (0, 0, 0)
-    font = _load_font(font_path, font_size)
-    gap = font_size + 5
-    txt_img_list = []
-    count, index = 1, 0
-    for idx, txt in enumerate(texts):
-        index += 1
-        if scores[idx] < threshold or math.isnan(scores[idx]):
-            index -= 1
-            continue
-        first_line = True
-        while str_count(txt) >= img_w // font_size - 4:
-            tmp = txt
-            txt = tmp[: img_w // font_size - 4]
-            if first_line:
-                new_txt = str(index) + ": " + txt
-                first_line = False
-            else:
-                new_txt = "    " + txt
-            draw_txt.text((0, gap * count), new_txt, txt_color, font=font)
-            txt = tmp[img_w // font_size - 4:]
-            if count >= img_h // gap - 1:
-                txt_img_list.append(np.array(blank_img))
-                blank_img, draw_txt = create_blank_img()
-                count = 0
-            count += 1
-        if first_line:
-            new_txt = f"{index}: {txt}   {scores[idx]:.3f}"
-        else:
-            new_txt = f"  {txt}  {scores[idx]:.3f}"
-        draw_txt.text((0, gap * count), new_txt, txt_color, font=font)
-        if count >= img_h // gap - 1 and idx + 1 < len(texts):
-            txt_img_list.append(np.array(blank_img))
-            blank_img, draw_txt = create_blank_img()
-            count = 0
-        count += 1
-    txt_img_list.append(np.array(blank_img))
-    if len(txt_img_list) == 1:
-        return np.array(txt_img_list[0])
-    return np.concatenate(txt_img_list, axis=1)
+    def paint(panel_rows: List[str]) -> np.ndarray:
+        # white panel with a 1px black right border separating panels
+        canvas = Image.new("RGB", (img_w, img_h), (255, 255, 255))
+        pen = ImageDraw.Draw(canvas)
+        pen.rectangle([(img_w - 1, 0), (img_w - 1, img_h - 1)], fill=_INK)
+        for r, row in enumerate(panel_rows, start=1):
+            pen.text((0, _ROW_PITCH * r), row, _INK, font=font)
+        return np.asarray(canvas)
+
+    panels = [paint(rows[i:i + rows_per_panel])
+              for i in range(0, len(rows), rows_per_panel)] or [paint([])]
+    if len(panels) == 1:
+        return panels[0]
+    return np.concatenate(panels, axis=1)
 
 
 def draw_ocr(image, boxes, txts=None, scores=None, drop_score: float = 0.5,
              font_path: Optional[str] = None) -> np.ndarray:
-    """Overlay polylines; append text panel when txts given
-    (reference utils.py:195-235)."""
+    """Overlay red quad outlines; when txts are given, resize the image to
+    600px and append the text panel on the right (reference
+    utils.py:195-235 behavior)."""
     import cv2
+    image = np.array(image)
     if scores is None:
         scores = [1] * len(boxes)
-    for i in range(len(boxes)):
-        if scores is not None and (scores[i] < drop_score or
-                                   math.isnan(scores[i])):
+    for quad, score in zip(boxes, scores):
+        if score < drop_score or math.isnan(score):
             continue
-        box = np.reshape(np.array(boxes[i]), [-1, 1, 2]).astype(np.int64)
-        image = cv2.polylines(np.array(image), [box], True, (255, 0, 0), 2)
-    if txts is not None:
-        img = np.array(resize_img(image, input_size=600))
-        txt_img = text_visual(txts, scores, img_h=img.shape[0], img_w=600,
-                              threshold=drop_score, font_path=font_path)
-        return np.concatenate([np.array(img), np.array(txt_img)], axis=1)
-    return image
+        pts = np.asarray(quad, dtype=np.int64).reshape(-1, 1, 2)
+        image = cv2.polylines(image, [pts], True, (255, 0, 0), 2)
+    if txts is None:
+        return image
+    img = np.array(resize_img(image, input_size=600))
+    panel = text_visual(txts, scores, img_h=img.shape[0], img_w=600,
+                        threshold=drop_score, font_path=font_path)
+    return np.concatenate([img, panel], axis=1)

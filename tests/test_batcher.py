@@ -97,3 +97,22 @@ def test_batch_padding_is_invisible():
         assert seen[0] == 4  # padded up the ladder
     finally:
         mb.close()
+
+
+def test_det_page_batcher_parity(test_image):
+    """Concurrent pages through DetPageBatcher produce the same boxes as
+    the host-resize reference path (small conv-numerics tolerance: the
+    batched program may pick different XLA conv algorithms)."""
+    import concurrent.futures
+    from onnxocr_tpu import ONNXPaddleOcr
+
+    host = ONNXPaddleOcr(use_angle_cls=False, tpu_det_input="host")
+    batched = ONNXPaddleOcr(use_angle_cls=False, tpu_det_microbatch=True)
+    ref = np.asarray(host.ocr(test_image, rec=False)[0], np.float32)
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+        outs = list(pool.map(lambda im: batched.ocr(im, rec=False)[0],
+                             [test_image] * 4))
+    for b in outs:
+        b = np.asarray(b, np.float32)
+        assert b.shape == ref.shape
+        assert np.abs(b - ref).max() <= 3.0

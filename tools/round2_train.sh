@@ -7,8 +7,8 @@ mkdir -p scratch
 A=onnxocr_tpu/assets
 
 echo "=== JOB 1: v5 rec (svtr) full charset, warm start ==="
-python tools/train_synthetic.py rec --steps 12000 --batch 64 \
-  --widths 320,640 --charset full --lr 7e-4 \
+python tools/train_synthetic.py rec --steps 6000 --batch 64 \
+  --widths 320,640 --charset full --lr 6e-4 \
   --init-from $A/ppocrv5/rec/native_params.npz \
   --out $A/ppocrv5/rec/native_params.npz || exit 1
 

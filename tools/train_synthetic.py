@@ -44,6 +44,7 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
         dict_path,
         charset=None if charset == "full" else synth.DEFAULT_CHARSET)
     renderer = synth.TextRenderer(char_to_idx=c2i, seed=seed)
+    renderer2 = synth.TextRenderer(char_to_idx=c2i, seed=seed + 1000)
     print(f"arch={arch} vocab={vocab} dict-mapped={len(c2i)} "
           f"renderable={len(renderer.charset)}")
 
@@ -61,18 +62,37 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
 
     # fixed label length so one compiled program serves all steps;
     # optional width mixing cycles through a small ladder (one compiled
-    # program per width)
+    # program per width). Batches are produced by a background thread so
+    # host-side PIL rendering overlaps the device step (the renderer is
+    # only touched from that thread — np.default_rng isn't thread-safe).
     width_cycle = list(widths) or [width]
-    t0 = time.time()
-    for step in range(steps):
+
+    def gen_batch(r, step):
         w_cur = width_cycle[step % len(width_cycle)]
-        imgs, labels, pads = renderer.rec_batch(batch, w_cur, max_len)
+        imgs, labels, pads = r.rec_batch(batch, w_cur, max_len)
         if labels.shape[1] < max_len:
             pad_n = max_len - labels.shape[1]
             labels = np.pad(labels, ((0, 0), (0, pad_n)))
             pads = np.pad(pads, ((0, 0), (0, pad_n)), constant_values=1.0)
-        labels = labels[:, :max_len]
-        pads = pads[:, :max_len]
+        return imgs, labels[:, :max_len], pads[:, :max_len]
+
+    import queue
+    import threading
+    # two producers (own renderer each — the np rng is not thread-safe),
+    # striped by step parity so every width in the cycle keeps appearing
+    queues = [queue.Queue(maxsize=3), queue.Queue(maxsize=3)]
+
+    def producer(r, qi):
+        for s in range(qi, steps, 2):
+            queues[qi].put(gen_batch(r, s))
+
+    threading.Thread(target=producer, args=(renderer, 0), daemon=True).start()
+    threading.Thread(target=producer, args=(renderer2, 1),
+                     daemon=True).start()
+
+    t0 = time.time()
+    for step in range(steps):
+        imgs, labels, pads = queues[step % 2].get()
         params, opt_state, loss = step_fn(params, opt_state, imgs, labels,
                                           pads)
         if step % 50 == 0 or step == steps - 1:
@@ -125,6 +145,7 @@ def train_det(steps: int, batch: int, size: int, lr: float, out: str,
     dict_path = cfg.find_asset("ppocrv5/ppocrv5_dict.txt")
     c2i = synth.charset_from_dict(dict_path, charset=None)
     renderer = synth.TextRenderer(char_to_idx=c2i, seed=seed + 1)
+    renderer2 = synth.TextRenderer(char_to_idx=c2i, seed=seed + 1001)
 
     rng = jax.random.PRNGKey(seed)
     params, optimizer, opt_state = det_trainer.init_training(
@@ -139,9 +160,27 @@ def train_det(steps: int, batch: int, size: int, lr: float, out: str,
     opt_state = optimizer.init(params)
     step_fn = det_trainer.make_train_step(optimizer, backbone_arch=arch)
 
+    import queue
+    import threading
+    q = queue.Queue(maxsize=4)
+    half = (batch + 1) // 2  # 2*half >= batch; consumer trims to batch
+
+    def producer(r, n_items):
+        for _ in range(n_items):
+            q.put(r.det_batch(half, size))
+
+    # two half-batch producers; the consumer stitches pairs
+    threading.Thread(target=producer, args=(renderer, steps),
+                     daemon=True).start()
+    threading.Thread(target=producer, args=(renderer2, steps),
+                     daemon=True).start()
+
     t0 = time.time()
     for step in range(steps):
-        imgs, maps, masks = renderer.det_batch(batch, size)
+        a = q.get()
+        b = q.get()
+        imgs, maps, masks = (np.concatenate([a[i], b[i]])[:batch]
+                             for i in range(3))
         params, opt_state, loss = step_fn(params, opt_state, imgs, maps,
                                           masks)
         if step % 25 == 0 or step == steps - 1:
