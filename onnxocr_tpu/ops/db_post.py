@@ -21,12 +21,14 @@ from . import geometry
 
 def _min_area_quad(points: np.ndarray) -> Tuple[np.ndarray, float]:
     """Min-area rect corners sorted the DB way; returns (4x2 pts, short side)
-    (reference get_mini_boxes, db_postprocess.py:159-180)."""
-    try:
-        import cv2
-        rect = cv2.minAreaRect(points.astype(np.float32))
-        corners = cv2.boxPoints(rect)
-    except Exception:
+    (reference get_mini_boxes, db_postprocess.py:159-180). Runs on the
+    in-repo geometry stack (C++ runtime rotating calipers via
+    runtime/native, numpy fallback) — cv2 is only a test oracle here."""
+    from ..runtime import native
+    if native.available():
+        rect = native.min_area_rect(points.astype(np.float64))
+        corners = geometry.box_points(rect)
+    else:
         rect = geometry.min_area_rect(points)
         corners = geometry.box_points(rect)
     sside = min(rect[1])
@@ -54,13 +56,8 @@ def box_score_fast(bitmap: np.ndarray, box: np.ndarray) -> float:
     ymax = int(np.clip(np.ceil(pts[:, 1].max()), 0, h - 1))
     pts[:, 0] -= xmin
     pts[:, 1] -= ymin
-    try:
-        import cv2
-        mask = np.zeros((ymax - ymin + 1, xmax - xmin + 1), dtype=np.uint8)
-        cv2.fillPoly(mask, pts.reshape(1, -1, 2).astype(np.int32), 1)
-    except Exception:
-        mask = geometry.fill_poly_mask((ymax - ymin + 1, xmax - xmin + 1),
-                                       pts.astype(np.int32))
+    mask = geometry.fill_poly_mask((ymax - ymin + 1, xmax - xmin + 1),
+                                   pts.astype(np.int32))
     region = bitmap[ymin:ymax + 1, xmin:xmax + 1]
     denom = mask.sum()
     if denom == 0:
@@ -79,13 +76,8 @@ def box_score_slow(bitmap: np.ndarray, contour: np.ndarray) -> float:
     ymax = int(np.clip(pts[:, 1].max(), 0, h - 1))
     pts[:, 0] -= xmin
     pts[:, 1] -= ymin
-    try:
-        import cv2
-        mask = np.zeros((ymax - ymin + 1, xmax - xmin + 1), dtype=np.uint8)
-        cv2.fillPoly(mask, pts.reshape(1, -1, 2).astype(np.int32), 1)
-    except Exception:
-        mask = geometry.fill_poly_mask((ymax - ymin + 1, xmax - xmin + 1),
-                                       pts.astype(np.int32))
+    mask = geometry.fill_poly_mask((ymax - ymin + 1, xmax - xmin + 1),
+                                   pts.astype(np.int32))
     region = bitmap[ymin:ymax + 1, xmin:xmax + 1]
     denom = mask.sum()
     if denom == 0:
@@ -157,16 +149,15 @@ class DBPostProcess:
 
     def polygons_from_bitmap(self, pred: np.ndarray, bitmap: np.ndarray,
                              dest_width: int, dest_height: int):
-        import cv2
         height, width = bitmap.shape
         boxes = []
         scores = []
         contours = _find_contours((bitmap * 255).astype(np.uint8))
         for contour in contours[:self.max_candidates]:
-            c = contour.reshape(-1, 1, 2).astype(np.int32)
-            epsilon = 0.002 * cv2.arcLength(c, True)
-            approx = cv2.approxPolyDP(c, epsilon, True)
-            points = approx.reshape((-1, 2))
+            c = contour.reshape(-1, 2).astype(np.int32)
+            epsilon = 0.002 * geometry.arc_length(c, closed=True)
+            points = geometry.approx_poly_dp(c, epsilon, closed=True)
+            points = points.reshape((-1, 2))
             if points.shape[0] < 4:
                 continue
             score = box_score_fast(pred, points.reshape(-1, 2))
@@ -197,9 +188,7 @@ class DBPostProcess:
             src_h, src_w, ratio_h, ratio_w = shape_list[batch_index]
             mask = segmentation[batch_index]
             if self.use_dilation:
-                import cv2
-                mask = cv2.dilate(mask.astype(np.uint8),
-                                  np.array([[1, 1], [1, 1]], np.uint8))
+                mask = geometry.dilate2x2(mask.astype(np.uint8))
             if self.box_type == "poly":
                 boxes, scores = self.polygons_from_bitmap(
                     pred[batch_index], mask, src_w, src_h)

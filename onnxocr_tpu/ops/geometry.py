@@ -199,6 +199,84 @@ def unclip(box: np.ndarray, unclip_ratio: float) -> np.ndarray:
     return offset_polygon_round(pts, distance)
 
 
+def arc_length(pts: np.ndarray, closed: bool = True) -> float:
+    """Polyline length (cv2.arcLength semantics)."""
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    if len(pts) < 2:
+        return 0.0
+    segs = np.diff(pts, axis=0)
+    total = float(np.hypot(segs[:, 0], segs[:, 1]).sum())
+    if closed:
+        total += float(np.hypot(*(pts[0] - pts[-1])))
+    return total
+
+
+def _dp_keep(pts: np.ndarray, lo: int, hi: int, eps: float,
+             keep: np.ndarray) -> None:
+    """Douglas-Peucker on the open chain pts[lo..hi] (endpoints kept)."""
+    stack = [(lo, hi)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        pa, pb = pts[a], pts[b]
+        d = pb - pa
+        seg_len = np.hypot(*d)
+        chain = pts[a + 1:b]
+        if seg_len == 0.0:
+            dists = np.hypot(*(chain - pa).T)
+        else:
+            dists = np.abs(np.cross(d, chain - pa)) / seg_len
+        k = int(np.argmax(dists))
+        if dists[k] > eps:
+            m = a + 1 + k
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+
+
+def approx_poly_dp(points: np.ndarray, epsilon: float,
+                   closed: bool = True) -> np.ndarray:
+    """Douglas-Peucker polygon simplification (cv2.approxPolyDP
+    replacement). For a closed curve the chain splits at the two mutually
+    farthest vertices so no artificial endpoint survives."""
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    n = len(pts)
+    if n < 3 or epsilon <= 0:
+        return pts.astype(points.dtype if hasattr(points, "dtype")
+                          else np.float64)
+    keep = np.zeros(n, dtype=bool)
+    if closed:
+        # anchor at vertex 0 and the vertex farthest from it
+        far = int(np.argmax(np.hypot(*(pts - pts[0]).T)))
+        if far == 0:
+            return pts[:1]
+        keep[0] = keep[far] = True
+        _dp_keep(pts, 0, far, epsilon, keep)
+        # second chain wraps around: far .. n-1 .. 0
+        wrapped = np.vstack([pts[far:], pts[:1]])
+        wkeep = np.zeros(len(wrapped), dtype=bool)
+        wkeep[0] = wkeep[-1] = True
+        _dp_keep(wrapped, 0, len(wrapped) - 1, epsilon, wkeep)
+        keep[far:] |= wkeep[:-1]
+    else:
+        keep[0] = keep[-1] = True
+        _dp_keep(pts, 0, n - 1, epsilon, keep)
+    return pts[keep]
+
+
+def dilate2x2(mask: np.ndarray) -> np.ndarray:
+    """Binary dilation with the DB 2x2 all-ones kernel
+    (cv2.dilate(mask, ones(2,2)) semantics, anchor at kernel center (1,1):
+    out[y, x] = max over src[y-1:y+1, x-1:x+1])."""
+    m = np.asarray(mask)
+    tmp = m.copy()
+    tmp[1:, :] = np.maximum(tmp[1:, :], m[:-1, :])   # vertical pass
+    out = tmp.copy()
+    out[:, 1:] = np.maximum(out[:, 1:], tmp[:, :-1])  # horizontal pass
+    return out
+
+
 def order_points_clockwise(pts: np.ndarray) -> np.ndarray:
     """Order 4 points as [top-left, top-right, bottom-right, bottom-left]
     (reference semantics: onnxocr/predict_det.py:50-59)."""

@@ -89,3 +89,36 @@ def test_poly_mode():
     boxes = out[0]["points"]
     assert len(boxes) == 1
     assert len(boxes[0]) >= 4
+
+
+def test_db_postprocess_runs_without_cv2(monkeypatch):
+    """The DB postprocess path must be fully native (VERDICT r1 #6):
+    block cv2 imports inside ops.db_post/ops.geometry and run every mode."""
+    import builtins
+    import onnxocr_tpu.ops.db_post as dbp
+
+    real_import = builtins.__import__
+
+    def guarded(name, *a, **k):
+        if name == "cv2":
+            import inspect
+            frame = inspect.stack()[1]
+            fn = frame.filename
+            if "db_post" in fn or ("ops" in fn and "geometry" in fn):
+                raise ImportError("cv2 blocked in DB postprocess path")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", guarded)
+
+    prob = np.zeros((96, 96), np.float32)
+    prob[20:40, 10:80] = 0.9
+    prob[60:70, 30:60] = 0.95
+    shape_list = np.array([[96, 96, 1.0, 1.0]])
+    for kwargs in ({"box_type": "quad"},
+                   {"box_type": "quad", "use_dilation": True},
+                   {"box_type": "poly"},
+                   {"box_type": "quad", "score_mode": "slow"}):
+        post = dbp.DBPostProcess(thresh=0.3, box_thresh=0.6,
+                                 unclip_ratio=1.5, **kwargs)
+        out = post({"maps": prob[None, None]}, shape_list)
+        assert len(out[0]["points"]) == 2, kwargs

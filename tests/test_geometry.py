@@ -82,3 +82,38 @@ def test_polygon_area_perimeter():
     sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], np.float64)
     assert np.isclose(abs(geometry.polygon_area(sq)), 100)
     assert np.isclose(geometry.polygon_perimeter(sq), 40)
+
+
+def test_dilate2x2_matches_cv2():
+    import cv2
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        m = (rng.random((25, 31)) > 0.8).astype(np.uint8)
+        ref = cv2.dilate(m, np.ones((2, 2), np.uint8))
+        assert np.array_equal(geometry.dilate2x2(m), ref)
+
+
+def test_arc_length_matches_cv2():
+    import cv2
+    rng = np.random.default_rng(4)
+    for closed in (True, False):
+        pts = rng.integers(0, 200, (15, 2)).astype(np.int32)
+        ref = cv2.arcLength(pts.reshape(-1, 1, 2), closed)
+        assert abs(geometry.arc_length(pts, closed) - ref) < 1e-3 * ref
+
+
+def test_approx_poly_dp_simplifies():
+    # a noisy rectangle outline should collapse to ~4 corners, and every
+    # dropped vertex must lie within epsilon of the simplified polygon
+    t = np.linspace(0, 1, 25)[:-1]
+    edges = []
+    for (a, b) in [((0, 0), (100, 0)), ((100, 0), (100, 40)),
+                   ((100, 40), (0, 40)), ((0, 40), (0, 0))]:
+        seg = np.outer(1 - t, a) + np.outer(t, b)
+        edges.append(seg)
+    poly = np.vstack(edges)
+    rng = np.random.default_rng(5)
+    noisy = poly + rng.uniform(-0.5, 0.5, poly.shape)
+    eps = 0.02 * geometry.arc_length(noisy, True)
+    out = geometry.approx_poly_dp(noisy, eps, closed=True)
+    assert 4 <= len(out) <= 8
