@@ -91,6 +91,21 @@ def generate_timestamp() -> str:
     return time.strftime("%Y%m%d_%H%M%S")
 
 
+def _render_preview(img, result) -> str:
+    """Detected quads drawn onto the image → base64 JPEG (the v2
+    `return_image` feature the reference left as a TODO)."""
+    import base64
+    import cv2
+    from ..utils.draw import draw_ocr
+    page = result[0] if result else []
+    boxes = [entry[0] for entry in page]
+    overlay = draw_ocr(img.copy(), boxes, drop_score=0.0)
+    ok, buf = cv2.imencode(".jpg", overlay, [cv2.IMWRITE_JPEG_QUALITY, 85])
+    if not ok:
+        return ""
+    return base64.b64encode(buf.tobytes()).decode("ascii")
+
+
 def build_app() -> App:
     app = App()
 
@@ -174,6 +189,11 @@ def build_app() -> App:
                                   f"{output_format!r}",
                                   "code": "VALIDATION_ERROR"})
         bbox = fields.get("bbox", ["true"])[0].lower() in ("true", "t", "1")
+        # improvement over the reference, which accepts return_image but
+        # ships it as a TODO (app/routers/v2.py:146,267 preview_image=None):
+        # here it returns a base64 JPEG with the detected quads drawn.
+        return_image = fields.get("return_image", ["false"])[0].lower() \
+            in ("true", "t", "1")
 
         total_size = sum(len(f.data) for f in files)
         if total_size > settings.MAX_CONTENT_LENGTH:
@@ -207,9 +227,11 @@ def build_app() -> App:
                 img, model_name=model_name, conf_threshold=conf_threshold)
             results = _format_results(result, bbox=bbox)
             if output_format == "json":
+                preview = _render_preview(img, result) if return_image \
+                    else None
                 return json_response({"processing_time": processing_time,
                                       "results": results,
-                                      "preview_image": None})
+                                      "preview_image": preview})
             if output_format == "text":
                 return json_response({"text": results_to_text(results),
                                       "processing_time": processing_time})

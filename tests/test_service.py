@@ -190,3 +190,26 @@ def test_ui_page(client):
 
 def test_404_unknown_route(client):
     assert client.get("/nope").status_code == 404
+
+
+def test_v2_return_image_preview(client):
+    r = client.post("/api/v2/ocr",
+                    files=[("file", ("a.png", _png_bytes(), "image/png"))],
+                    data={"return_image": "true"})
+    assert r.status_code == 200
+    data = r.json()
+    assert data["preview_image"]  # base64 JPEG overlay
+    import base64 as b64mod
+    blob = b64mod.b64decode(data["preview_image"])
+    assert blob[:3] == b"\xff\xd8\xff"  # JPEG magic
+    # default off
+    r2 = client.post("/api/v2/ocr",
+                     files=[("file", ("a.png", _png_bytes(), "image/png"))])
+    assert r2.json()["preview_image"] is None
+
+
+def test_ui_page_features(client):
+    html = client.get("/").text
+    for needle in ("tab-v1", "tab-v2", "conf", "return_image",
+                   "bounding boxes", "zip_url", "canvas"):
+        assert needle in html, needle
