@@ -54,16 +54,21 @@ class TextDetector:
                 max_wait_ms=float(getattr(args, "tpu_microbatch_wait_ms",
                                           8.0)))
 
-    def enable_page_batching(self, max_wait_ms: float = 8.0) -> bool:
+    def enable_page_batching(self, max_wait_ms: float = 8.0,
+                             mesh=None) -> bool:
         """Cross-request det batching: concurrent pages share one DBNet
         device call (runtime/batcher.DetPageBatcher). Requires the default
-        limit_type='max' sizing (bounded canvas); returns False otherwise."""
+        limit_type='max' sizing (bounded canvas); returns False otherwise.
+        With `mesh`, the page batch shards over the mesh's `data` axis
+        (multi-chip serving; native backend only)."""
         if self.image_shape is not None or self.limit_type != "max":
             return False
+        if mesh is not None and self.forward.backend != "native":
+            mesh = None
         from ..runtime.batcher import DetPageBatcher
         self._page_batcher = DetPageBatcher(
             self.forward, self.limit_side_len, self.limit_type,
-            max_wait_ms=max_wait_ms)
+            max_wait_ms=max_wait_ms, mesh=mesh)
         return True
 
     def order_points_clockwise(self, pts: np.ndarray) -> np.ndarray:

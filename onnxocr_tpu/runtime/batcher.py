@@ -130,17 +130,61 @@ class DetPageBatcher:
 
     def __init__(self, det_forward, limit_side_len: float = 960,
                  limit_type: str = "max", max_wait_ms: float = 8.0,
-                 batch_ladder: Sequence[int] = (1, 2, 4, 8)):
+                 batch_ladder: Sequence[int] = (1, 2, 4, 8), mesh=None):
         from ..ops import det_pre
         assert limit_type == "max"
         self.forward = det_forward
         self.limit_side_len = limit_side_len
         self.limit_type = limit_type
         self.side = det_pre.round_up(int(limit_side_len), 32)
-        self.batcher = MicroBatcher(det_forward.call_pages_u8,
+        fn = det_forward.call_pages_u8
+        if mesh is not None:
+            # multi-chip serving: shard the page batch over the mesh's
+            # `data` axis — weights replicate, XLA partitions the batch,
+            # no collectives (embarrassingly parallel inference). The
+            # ladder is padded to multiples of the data-axis size.
+            fn = self._make_sharded_fn(mesh)
+            n_data = mesh.shape["data"]
+            batch_ladder = tuple(sorted({
+                max(n_data, ((b + n_data - 1) // n_data) * n_data)
+                for b in batch_ladder}))
+        self.batcher = MicroBatcher(fn,
                                     max_batch=batch_ladder[-1],
                                     max_wait_ms=max_wait_ms,
                                     batch_ladder=batch_ladder)
+
+    def _make_sharded_fn(self, mesh):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel import mesh as mesh_lib
+
+        fwd = self.forward
+        params_sharded = None
+
+        def fn(pages_u8):
+            nonlocal params_sharded
+            if params_sharded is None and fwd.backend == "native":
+                params_sharded = jax.device_put(fwd.params,
+                                                mesh_lib.replicated(mesh))
+            if getattr(fn, "_jit", None) is None:
+                from ..ops import det_pre
+                from ..models import dbnet
+                import jax.numpy as jnp
+
+                def impl(params, pages):
+                    x = det_pre.normalize_det(pages).astype(fwd.dtype)
+                    prob = dbnet.apply(params, x, backbone_arch=fwd.arch)
+                    return fwd._encode(prob.astype(jnp.float32))
+
+                fn._jit = jax.jit(
+                    impl,
+                    in_shardings=(mesh_lib.replicated(mesh),
+                                  NamedSharding(mesh,
+                                                P("data", None, None, None))),
+                    out_shardings=NamedSharding(mesh, P("data", None, None)))
+            return fn._jit(params_sharded, pages_u8)
+
+        return fn
 
     def close(self):
         self.batcher.close()

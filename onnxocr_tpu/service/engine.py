@@ -63,11 +63,24 @@ class EngineManager:
         reg = MODEL_REGISTRY.get(model_name, {})
         for key, rel in reg.items():
             kwargs[key] = cfg_mod.find_asset(rel)
+        if self._det_batch:
+            # cross-request det page batching: concurrent requests' DBNet
+            # forwards coalesce into one device call (default on — the det
+            # forward is the largest per-request device dispatch)
+            kwargs["tpu_det_microbatch"] = True
         if self._micro_batch:
-            # cross-request batching replaces per-image fusion: cls/rec
-            # calls route through the MicroBatcher queue instead
+            # cross-request cls/rec crop batching through a host-side
+            # MicroBatcher queue. Opt-in: it replaces the per-image fused
+            # cls+rec call, and the host hop costs more than it saves when
+            # device<->host bandwidth is the bottleneck (tunneled TPU).
             kwargs["tpu_fused_cls_rec"] = False
         return kwargs
+
+    @property
+    def _det_batch(self) -> bool:
+        import os
+        return os.environ.get("DET_BATCH", "1").lower() in ("1", "true") \
+            and self.concurrency > 1
 
     @property
     def _micro_batch(self) -> bool:
@@ -82,6 +95,8 @@ class EngineManager:
             if model_name not in self._models:
                 kwargs = self._get_model_kwargs(model_name)
                 model = ONNXPaddleOcr(**kwargs)
+                if self._det_batch:
+                    self._maybe_shard_det(model)
                 if self._micro_batch:
                     from ..runtime.batcher import BatchedForward
                     model.text_recognizer.forward = BatchedForward(
@@ -91,6 +106,23 @@ class EngineManager:
                             model.text_classifier.forward)
                 self._models[model_name] = model
             return self._models[model_name]
+
+    @staticmethod
+    def _maybe_shard_det(model):
+        """On a multi-chip host, re-enable det page batching with the page
+        batch sharded over a data mesh (parallel/mesh.py): the engine's
+        request stream fans out across chips with zero collectives."""
+        try:
+            import jax
+            if len(jax.devices()) < 2:
+                return
+            from ..parallel import mesh as mesh_lib
+            mesh = mesh_lib.make_mesh(model_parallel=1)
+        except Exception:
+            return
+        det = getattr(model, "text_detector", None)
+        if det is not None:
+            det.enable_page_batching(mesh=mesh)
 
     async def run_ocr(self, img: np.ndarray,
                       model_name: Optional[str] = None,

@@ -22,8 +22,13 @@ def _auto_workers() -> int:
 
 
 def _auto_concurrency() -> int:
+    # Reference formula is CPU-bound (min(2, cpu//2), app/settings.py:55-58).
+    # Here concurrency is the *pipelining depth* in front of one TPU — host
+    # pre/post of request k overlaps device compute of k+1 and feeds the
+    # cross-request det batcher — so it should not collapse to 1 on small
+    # hosts. Floor of 4, still env-overridable via MODEL_CONCURRENCY.
     cpu = os.cpu_count() or 2
-    return max(1, min(2, cpu // 2))
+    return max(4, min(8, cpu))
 
 
 class Settings:

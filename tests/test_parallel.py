@@ -67,3 +67,28 @@ def test_sharded_rec_batch(mesh8):
     rec = ShardedRecBatch(params, mesh8)
     idx, prob = rec(np.zeros((6, 48, 64, 3), np.float32))
     assert idx.shape == (6, 8) and prob.shape == (6, 8)
+
+
+def test_det_page_batcher_on_mesh():
+    """The serving det page batcher shards its page batch over the mesh's
+    data axis (engine wiring: EngineManager._maybe_shard_det)."""
+    import concurrent.futures
+    from onnxocr_tpu.pipeline import backends
+    from onnxocr_tpu.runtime.batcher import DetPageBatcher
+    from onnxocr_tpu.models import dbnet
+
+    mesh = mesh_lib.make_mesh(8, model_parallel=1)
+    fwd = backends.DetForward("native", params=dbnet.init(0),
+                              map_dtype="uint8")
+    pb = DetPageBatcher(fwd, limit_side_len=64, max_wait_ms=20.0,
+                        batch_ladder=(1, 2, 4, 8), mesh=mesh)
+    # ladder is padded to data-axis multiples
+    assert all(b % 8 == 0 for b in pb.batcher.batch_ladder)
+    img = np.full((50, 70, 3), 255, np.uint8)
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+        outs = list(pool.map(pb.submit, [img] * 4))
+    ref_prob, ref_shape = outs[0]
+    for prob, shape_info in outs:
+        assert prob.shape == ref_prob.shape
+        np.testing.assert_allclose(prob, ref_prob)
+        np.testing.assert_allclose(shape_info, ref_shape)

@@ -1,0 +1,133 @@
+"""Held-out accuracy eval on the REFERENCE's own test images.
+
+The synthetic-page eval (tests/test_e2e_synthetic.py) shares its renderer
+with training, so it cannot establish real-image accuracy. This tool runs
+the full pipeline on latin-script images from the reference corpus
+(/root/reference/onnxocr/test_images) against hand-transcribed ground-truth
+lines and reports:
+
+  * line recall  — GT lines matched by some prediction (similarity ≥ 0.5),
+    a detector-quality proxy;
+  * char accuracy — mean normalized edit similarity of the best match per
+    GT line;
+  * exact matches.
+
+Usage:  python tools/eval_heldout.py [--model PP-OCRv5] [--json]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF_IMAGES = "/root/reference/onnxocr/test_images"
+
+# Hand-transcribed prominent text lines (labels typed from viewing the
+# images; NOT derived from any model output).
+GROUND_TRUTH = {
+    "ger_1.jpg": [
+        "EPPING",
+        "Twinned with",
+        "Eppingen, Germany",
+    ],
+    "ger_2.jpg": [
+        "Halten Sie,",
+        "was Sie versprechen.",
+        "Und geben Sie noch was dazu.",
+    ],
+    "french_0.jpg": [
+        "Mairie du I",
+        "Palais du LOUVRE",
+        "LES ARTS DÉCORATIFS",
+        "Musée du LOUVRE",
+        "Théâtre",
+        "du PALAIS-ROYAL",
+    ],
+    "00056221.jpg": [
+        "Z57A001950",
+        "G7512",
+        "3623301993****0941",
+        "9004-1300-5707-08A0-0195-0",
+        "Hang Zhou Dong",
+        "Shang Hai Hong Qiao",
+    ],
+}
+
+
+def edit_distance(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def similarity(a: str, b: str) -> float:
+    if not a and not b:
+        return 1.0
+    return 1.0 - edit_distance(a, b) / max(len(a), len(b), 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="PP-OCRv5")
+    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import cv2
+    from onnxocr_tpu.service import engine as engine_mod
+
+    em = engine_mod.EngineManager(concurrency=1)
+    model = em.get_model(args.model)
+
+    per_image = {}
+    sims, exact, found, total = [], 0, 0, 0
+    for fname, gt_lines in GROUND_TRUTH.items():
+        path = os.path.join(REF_IMAGES, fname)
+        img = cv2.imread(path)
+        if img is None:
+            continue
+        result = model.ocr(img)
+        preds = [entry[1][0] for entry in (result[0] or [])]
+        rows = []
+        for gt in gt_lines:
+            best, best_sim = "", 0.0
+            for p in preds:
+                s = similarity(gt, p)
+                if s > best_sim:
+                    best, best_sim = p, s
+            sims.append(best_sim)
+            exact += int(best_sim == 1.0)
+            found += int(best_sim >= 0.5)
+            total += 1
+            rows.append({"gt": gt, "pred": best,
+                         "sim": round(best_sim, 3)})
+        per_image[fname] = rows
+        if args.verbose:
+            for r in rows:
+                print(f"  {fname}: gt={r['gt']!r} pred={r['pred']!r} "
+                      f"sim={r['sim']}")
+
+    summary = {
+        "model": args.model,
+        "gt_lines": total,
+        "line_recall@0.5": round(found / max(total, 1), 3),
+        "char_accuracy": round(sum(sims) / max(len(sims), 1), 3),
+        "exact_match": exact,
+    }
+    if args.json:
+        print(json.dumps({"summary": summary, "per_image": per_image},
+                         ensure_ascii=False))
+    else:
+        print(json.dumps(summary, ensure_ascii=False))
+
+
+if __name__ == "__main__":
+    main()
