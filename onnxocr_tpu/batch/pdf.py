@@ -7,8 +7,10 @@ environment, so this module provides:
 1. pymupdf rasterization when importable (full fidelity, any PDF), else
 2. a pure-Python embedded-image extractor that handles the dominant OCR
    case — scanned PDFs whose pages are single full-page images (JPEG
-   /DCTDecode or zlib /FlateDecode XObjects). Vector-only PDFs raise a
-   clear error pointing at the pymupdf path.
+   /DCTDecode or zlib /FlateDecode XObjects), else
+3. a minimal vector rasterizer (pdf_raster.py) for digitally-born PDFs'
+   text + filled-rect subset. Only when all three fail does the call
+   raise.
 
 Returned images are RGB numpy arrays (the batch layer converts RGB→BGR,
 matching the reference's pixmap semantics).
@@ -30,7 +32,14 @@ except ImportError:
 def pdf_to_images(pdf_path: str, dpi: int = 200) -> List[np.ndarray]:
     if fitz is not None:
         return _pymupdf_pages(pdf_path, dpi)
-    return extract_embedded_images(pdf_path)
+    try:
+        return extract_embedded_images(pdf_path)
+    except RuntimeError as img_err:
+        from . import pdf_raster
+        try:
+            return pdf_raster.render_pdf_pages(pdf_path, dpi=min(dpi, 200))
+        except RuntimeError as vec_err:
+            raise RuntimeError(f"{img_err}; {vec_err}") from None
 
 
 def _pymupdf_pages(pdf_path: str, dpi: int) -> List[np.ndarray]:

@@ -69,3 +69,38 @@ def test_output_dir_beside_input(tmp_path):
     out = logic._get_output_dir(str(f))
     assert out == str(tmp_path / "Output_OCR")
     assert os.path.isdir(out)
+
+
+def _make_vector_pdf(path):
+    import zlib
+    content = (b"q 0.9 0.9 0.9 rg 40 600 500 80 re f 0 0 0 rg "
+               b"BT /F1 24 Tf 60 700 Td (Hello Vector) Tj ET "
+               b"BT /F1 14 Tf 60 610 Td 18 TL (first) Tj T* (second) ' ET")
+    comp = zlib.compress(content)
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 612 792] >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 4 0 R >> >> /Contents 5 0 R >>\nendobj\n",
+        b"4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"
+        b"endobj\n",
+        b"5 0 obj\n<< /Length " + str(len(comp)).encode() +
+        b" /Filter /FlateDecode >>\nstream\n" + comp +
+        b"\nendstream\nendobj\n",
+    ]
+    with open(path, "wb") as f:
+        f.write(b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF\n")
+
+
+def test_vector_pdf_rasterizes(tmp_path):
+    from onnxocr_tpu.batch import pdf
+    p = str(tmp_path / "vec.pdf")
+    _make_vector_pdf(p)
+    pages = pdf.pdf_to_images(p)
+    assert len(pages) == 1
+    page = pages[0]
+    assert page.ndim == 3 and page.shape[2] == 3
+    # text pixels present (page not blank) and background white
+    assert (page < 128).any()
+    assert (page == 255).mean() > 0.5
