@@ -47,7 +47,11 @@ def _min_area_quad(points: np.ndarray) -> Tuple[np.ndarray, float]:
 
 def box_score_fast(bitmap: np.ndarray, box: np.ndarray) -> float:
     """Mean prob inside the quad (axis-aligned crop + polygon mask),
-    reference db_postprocess.py:182-197."""
+    reference db_postprocess.py:182-197. C++ raster scan when the native
+    runtime is loaded (identical even-odd semantics), numpy otherwise."""
+    from ..runtime import native
+    if native.has_box_score():
+        return native.box_score(bitmap, box)
     h, w = bitmap.shape[:2]
     pts = box.copy()
     xmin = int(np.clip(np.floor(pts[:, 0].min()), 0, w - 1))
@@ -68,6 +72,10 @@ def box_score_fast(bitmap: np.ndarray, box: np.ndarray) -> float:
 def box_score_slow(bitmap: np.ndarray, contour: np.ndarray) -> float:
     """Mean prob inside the exact contour polygon
     (reference db_postprocess.py:199-218)."""
+    from ..runtime import native
+    if native.has_box_score():
+        return native.box_score(bitmap,
+                                np.reshape(contour, (-1, 2)))
     h, w = bitmap.shape[:2]
     pts = np.reshape(contour.copy(), (-1, 2)).astype(np.float64)
     xmin = int(np.clip(pts[:, 0].min(), 0, w - 1))

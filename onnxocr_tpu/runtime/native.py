@@ -75,6 +75,16 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_double,
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int,
             ]
+            try:  # absent in libraries built before this symbol existed
+                lib.ocr_box_score.restype = ctypes.c_double
+                lib.ocr_box_score.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),  # prob map
+                    ctypes.c_int, ctypes.c_int,      # h, w
+                    ctypes.POINTER(ctypes.c_double),  # poly (x,y)*
+                    ctypes.c_int,                    # n vertices
+                ]
+            except AttributeError:
+                pass
             _LIB = lib
             break
     return _LIB
@@ -127,3 +137,20 @@ def offset_polygon(poly: np.ndarray, distance: float) -> np.ndarray:
         float(distance),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), max_out)
     return out[:n].copy()
+
+
+def has_box_score() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "ocr_box_score") and \
+        getattr(lib.ocr_box_score, "restype", None) is ctypes.c_double
+
+
+def box_score(prob: np.ndarray, poly: np.ndarray) -> float:
+    """Mean prob inside the polygon (C++ even-odd raster scan)."""
+    lib = _load()
+    prob = np.ascontiguousarray(prob, dtype=np.float32)
+    pts = np.ascontiguousarray(poly, dtype=np.float64).reshape(-1, 2)
+    return float(lib.ocr_box_score(
+        prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        prob.shape[0], prob.shape[1],
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), len(pts)))

@@ -321,4 +321,57 @@ int ocr_offset_polygon(const double* poly, int n, double distance,
   return count;
 }
 
+// Mean of prob inside an n-vertex polygon (DB box_score_fast/slow,
+// onnxocr/db_postprocess.py:182-218). Even-odd pixel-center test with
+// int-truncated vertices, mirroring ops/geometry.py fill_poly_mask so the
+// native and numpy paths score identically.
+double ocr_box_score(const float* prob, int h, int w, const double* poly,
+                     int n) {
+  if (n < 3) return 0.0;
+  double minx = poly[0], maxx = poly[0], miny = poly[1], maxy = poly[1];
+  for (int i = 1; i < n; ++i) {
+    minx = std::min(minx, poly[2 * i]);
+    maxx = std::max(maxx, poly[2 * i]);
+    miny = std::min(miny, poly[2 * i + 1]);
+    maxy = std::max(maxy, poly[2 * i + 1]);
+  }
+  int xmin = std::min(std::max(static_cast<int>(std::floor(minx)), 0), w - 1);
+  int xmax = std::min(std::max(static_cast<int>(std::ceil(maxx)), 0), w - 1);
+  int ymin = std::min(std::max(static_cast<int>(std::floor(miny)), 0), h - 1);
+  int ymax = std::min(std::max(static_cast<int>(std::ceil(maxy)), 0), h - 1);
+  if (xmax < xmin || ymax < ymin) return 0.0;
+
+  // shifted, int-truncated vertices (numpy .astype(int32) semantics)
+  std::vector<double> vx(n), vy(n);
+  for (int i = 0; i < n; ++i) {
+    vx[i] = static_cast<double>(static_cast<int>(poly[2 * i] - xmin));
+    vy[i] = static_cast<double>(static_cast<int>(poly[2 * i + 1] - ymin));
+  }
+
+  double sum = 0.0;
+  long count = 0;
+  for (int y = ymin; y <= ymax; ++y) {
+    double py = y - ymin;
+    // collect crossings for this scanline (even-odd rule)
+    for (int x = xmin; x <= xmax; ++x) {
+      double px = x - xmin;
+      bool inside = false;
+      int j = n - 1;
+      for (int i = 0; i < n; ++i) {
+        if ((vy[i] > py) != (vy[j] > py)) {
+          double xints =
+              (vx[j] - vx[i]) * (py - vy[i]) / (vy[j] - vy[i]) + vx[i];
+          if (px < xints) inside = !inside;
+        }
+        j = i;
+      }
+      if (inside) {
+        sum += prob[y * w + x];
+        ++count;
+      }
+    }
+  }
+  return count ? sum / count : 0.0;
+}
+
 }  // extern "C"

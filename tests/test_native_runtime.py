@@ -81,3 +81,31 @@ def test_db_postprocess_uses_native_path():
     post = DBPostProcess(thresh=0.3, box_thresh=0.6, unclip_ratio=1.5)
     out = post({"maps": pred[None, None]}, np.array([[160, 320, 1.0, 1.0]]))
     assert len(out[0]["points"]) == 2
+
+
+def test_native_box_score_matches_numpy():
+    from onnxocr_tpu.runtime import native
+    from onnxocr_tpu.ops import geometry
+    if not native.has_box_score():
+        import pytest
+        pytest.skip("native lib without ocr_box_score")
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        prob = rng.random((60, 80)).astype(np.float32)
+        quad = rng.uniform(-5, 85, (4, 2))
+        # numpy oracle: exact replica of the python fallback
+        h, w = prob.shape
+        pts = quad.copy()
+        xmin = int(np.clip(np.floor(pts[:, 0].min()), 0, w - 1))
+        xmax = int(np.clip(np.ceil(pts[:, 0].max()), 0, w - 1))
+        ymin = int(np.clip(np.floor(pts[:, 1].min()), 0, h - 1))
+        ymax = int(np.clip(np.ceil(pts[:, 1].max()), 0, h - 1))
+        pts[:, 0] -= xmin
+        pts[:, 1] -= ymin
+        mask = geometry.fill_poly_mask((ymax - ymin + 1, xmax - xmin + 1),
+                                       pts.astype(np.int32))
+        region = prob[ymin:ymax + 1, xmin:xmax + 1]
+        denom = mask.sum()
+        ref = float((region * mask).sum() / denom) if denom else 0.0
+        got = native.box_score(prob, quad)
+        assert abs(got - ref) < 1e-6, (got, ref)
