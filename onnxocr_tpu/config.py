@@ -179,6 +179,14 @@ DEFAULTS = {
     # per width bucket (the 180° flip is applied by homography selection on
     # device instead of a host round trip between cls and rec).
     "tpu_fused_cls_rec": True,
+    # Det postprocess location: 'host' (exact reference contract — contours
+    # / minAreaRect / unclip on host from the downloaded prob map) or
+    # 'device' (connected components + PCA-oriented quads inside the det
+    # jit, ops/db_device.py — only ~max_boxes*10 floats cross the wire;
+    # geometry within ~1px of the host path on text-shaped regions, not
+    # bit-identical). Quad box_type only; falls back to host otherwise.
+    "tpu_det_postprocess": "host",
+    "tpu_det_max_boxes": 256,
     # Cross-request det page batching: concurrent images' DBNet forwards
     # coalesce into one device call (runtime/batcher.DetPageBatcher). Adds
     # up to tpu_microbatch_wait_ms latency per call, so it defaults off for

@@ -118,6 +118,65 @@ class TextDetector:
             np.asarray(prob_padded))[:rh, :rw]
         return prob, shape_info
 
+    # ------------------------------------------------- device box extraction
+    def infer_boxes_device(self, image_dev, src_h: int, src_w: int):
+        """Fast path (tpu_det_postprocess='device'): resize → DBNet →
+        connected components → oriented quads, all in ONE jit; only
+        ~max_k × 10 floats cross the device→host boundary instead of the
+        prob map (ops/db_device.py). Returns (N, 4, 2) float boxes in
+        source coords (pre filter_tag_det_res)."""
+        from ..ops import resize_dev, db_device
+        import jax
+        import jax.numpy as jnp
+
+        rh, rw = det_pre.det_resize_target(src_h, src_w,
+                                           self.limit_side_len,
+                                           self.limit_type)
+        hb = det_pre.round_up(rh, self.bucket)
+        wb = det_pre.round_up(rw, self.bucket)
+        pp = self.postprocess_op
+        max_k = int(getattr(self.args, "tpu_det_max_boxes", 256))
+
+        if getattr(self, "_jit_boxes", None) is None:
+            fwd = self.forward
+
+            def fn(image_u8, s_h, s_w, r_h, r_w, out_h, out_w):
+                x = resize_dev.resize_normalize_det(
+                    image_u8, s_h, s_w, r_h, r_w, out_h, out_w)
+                if fwd.backend == "native":
+                    from ..models import dbnet
+                    prob = dbnet.apply(fwd.params,
+                                       x[None].astype(fwd.dtype),
+                                       backbone_arch=fwd.arch)[0]
+                else:
+                    xt = jnp.transpose(x[None].astype(jnp.float32),
+                                       (0, 3, 1, 2))
+                    prob = fwd.executor._interpret(
+                        fwd.executor._get_device_weights(),
+                        {fwd.executor.input_names[0]: xt})[0][0, 0]
+                quads, scores, valid = db_device.device_boxes(
+                    prob.astype(jnp.float32), r_h, r_w, max_k=max_k,
+                    thresh=pp.thresh, box_thresh=pp.box_thresh,
+                    unclip_ratio=pp.unclip_ratio, min_size=float(pp.min_size))
+                return jnp.concatenate(
+                    [quads.reshape(max_k, 8), scores[:, None],
+                     valid[:, None].astype(jnp.float32)], axis=-1)
+
+            self._jit_boxes = jax.jit(fn,
+                                      static_argnames=("out_h", "out_w"))
+
+        packed = np.asarray(self._jit_boxes(
+            image_dev, jnp.int32(src_h), jnp.int32(src_w), jnp.int32(rh),
+            jnp.int32(rw), out_h=hb, out_w=wb))
+        rows = packed[packed[:, 9] > 0.5]
+        quads = rows[:, :8].reshape(-1, 4, 2).astype(np.float64)
+        # rescale map coords → source coords (boxes_from_bitmap :143-146)
+        quads[..., 0] = np.clip(np.round(quads[..., 0] / rw * src_w),
+                                0, src_w)
+        quads[..., 1] = np.clip(np.round(quads[..., 1] / rh * src_h),
+                                0, src_h)
+        return quads.astype(np.int32)
+
     def infer_prob_map_device(self, image_dev, src_h: int, src_w: int):
         """Device det-resize path: the HBM-resident (edge-padded) original
         is resized+normalized on device (ops/resize_dev.py) and fed straight

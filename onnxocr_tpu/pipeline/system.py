@@ -103,7 +103,26 @@ class TextSystem:
         # path (det_pre.prepare_det_input) replicates that, so route tiny
         # images there to keep box-geometry parity.
         tiny = img.shape[0] + img.shape[1] < 64
-        if self.text_detector._page_batcher is not None:
+        det_post_device = (
+            not tiny and
+            getattr(self.args, "tpu_det_postprocess", "host") == "device" and
+            self.args.det_box_type == "quad" and
+            not self.args.use_dilation and
+            self.text_detector.limit_type == "max" and
+            self.text_detector.image_shape is None)
+        if det_post_device:
+            # fast path: det postprocess runs on device; only K candidate
+            # quads cross the wire (ops/db_device.py)
+            from ..ops import resize_dev
+            with timer.stage("img_upload"):
+                padded_src, src_h, src_w = resize_dev.pad_src_bucket(img)
+                image_dev = jax.device_put(padded_src)
+            with timer.stage("det"):
+                raw = self.text_detector.infer_boxes_device(
+                    image_dev, src_h, src_w)
+                dt_boxes = self.text_detector.filter_tag_det_res(
+                    raw, img.shape)
+        elif self.text_detector._page_batcher is not None:
             # cross-request batched det: host reference-resize, shared
             # device forward; the source uploads separately for the warps
             with timer.stage("det"):

@@ -122,3 +122,31 @@ def test_db_postprocess_runs_without_cv2(monkeypatch):
                                  unclip_ratio=1.5, **kwargs)
         out = post({"maps": prob[None, None]}, shape_list)
         assert len(out[0]["points"]) == 2, kwargs
+
+
+def test_device_boxes_match_host_path():
+    """ops/db_device.py (on-device CC + oriented quads) reproduces the host
+    DB extraction on text-shaped synthetic maps."""
+    import jax.numpy as jnp
+    from onnxocr_tpu.ops import db_device
+
+    prob = np.zeros((160, 192), np.float32)
+    prob[20:40, 10:120] = 0.9                       # wide line
+    for t in np.linspace(0, 1, 400):                # rotated bar
+        x, y = 30 + t * 100, 70 + t * 55
+        prob[int(y):int(y) + 8, int(x):int(x) + 8] = 0.85
+    prob[140:142, 150:152] = 0.95                   # tiny → filtered
+
+    quads, scores, valid = db_device.device_boxes(
+        jnp.asarray(prob), 160, 192, max_k=16)
+    quads = np.asarray(quads)[np.asarray(valid)]
+    post = DBPostProcess(thresh=0.3, box_thresh=0.6, unclip_ratio=1.5)
+    host = post({"maps": prob[None, None]},
+                np.array([[160.0, 192.0, 1.0, 1.0]]))[0]["points"]
+    assert len(quads) == len(host) == 2
+    # each host quad has a device quad within 2px on every corner
+    for hq in host:
+        best = min(np.abs(np.sort(q.reshape(-1)) -
+                          np.sort(np.asarray(hq, np.float32).reshape(-1))
+                          ).max() for q in quads)
+        assert best <= 2.5, best
