@@ -186,7 +186,7 @@ DEFAULTS = {
     # geometry within ~1px of the host path on text-shaped regions, not
     # bit-identical). Quad box_type only; falls back to host otherwise.
     "tpu_det_postprocess": "host",
-    "tpu_det_max_boxes": 256,
+    "tpu_det_max_boxes": 1024,
     # Cross-request det page batching: concurrent images' DBNet forwards
     # coalesce into one device call (runtime/batcher.DetPageBatcher). Adds
     # up to tpu_microbatch_wait_ms latency per call, so it defaults off for

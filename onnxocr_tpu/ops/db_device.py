@@ -21,9 +21,15 @@ boxes (~10 KB instead of ~1 MB at 960²):
 6. download (quads, scores, valid) — the host only rescales/clips/orders.
 
 This is the opt-in fast path (`tpu_det_postprocess='device'`): box
-geometry matches the host path to ~1px on text-shaped components but is
-not bit-identical (PCA-rect vs rotating-calipers, component-mean vs
-quad-mask score), so the default stays on the host contract.
+geometry matches the host path to ~1-2px on text-shaped components and
+scoring follows the same even-odd quad-mask convention, but it is not
+bit-identical to the reference contract: (a) the rect is PCA-oriented
+rather than rotating-calipers min-area (coincident for elongated text),
+(b) the unit is the connected COMPONENT — the reference emits one
+candidate per contour, so regions with holes yield extra (nested)
+reference boxes, and (c) when candidates exceed max_k the kept subset is
+the raster-first components rather than the first max_candidates contour
+records. The default path keeps the exact host contract.
 """
 from __future__ import annotations
 
@@ -105,18 +111,21 @@ def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
     seed = jnp.where(mask, (ys * W + xs + 1).astype(jnp.int32), 0)
     lab = _flood_scans(seed, mask)
     lab = _dilate_converge(lab, mask)
-    # representative pixel: the one whose own seed survived
+    # representative pixel: the one whose own seed survived. When there
+    # are more components than max_k, keep the SMALLEST ids — raster
+    # order, like the reference's first-max_candidates contours
+    # (db_postprocess.py:124) — via top_k on negated ids.
     reps = mask & (lab == seed)
-    ids = lax.top_k(jnp.where(reps, lab, 0).reshape(-1), max_k)[0]
-    present = ids > 0
+    neg = jnp.where(reps, -lab, jnp.int32(-2147483647)).reshape(-1)
+    ids = -lax.top_k(neg, max_k)[0]      # ascending; padding → +2147483647
+    present = ids < 2147483647
 
-    # map every pixel's label to a slot in ids (descending order)
-    ids_asc = ids[::-1]
+    # map every pixel's label to its slot (ids is sorted ascending with
+    # maxint padding at the tail, so searchsorted is direct)
     flat_lab = lab.reshape(-1)
-    pos = jnp.searchsorted(ids_asc, flat_lab)
-    pos = jnp.clip(pos, 0, max_k - 1)
-    hit = (ids_asc[pos] == flat_lab) & (flat_lab > 0)
-    slot = jnp.where(hit, (max_k - 1) - pos, max_k)  # back to desc index
+    pos = jnp.clip(jnp.searchsorted(ids, flat_lab), 0, max_k - 1)
+    hit = (ids[pos] == flat_lab) & (flat_lab > 0)
+    slot = jnp.where(hit, pos, max_k)
 
     fx = xs.reshape(-1).astype(jnp.float32)
     fy = ys.reshape(-1).astype(jnp.float32)
@@ -131,7 +140,6 @@ def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
     cxx = acc[:, 3] / n - mx * mx
     cyy = acc[:, 4] / n - my * my
     cxy = acc[:, 5] / n - mx * my
-    score = acc[:, 6] / n
 
     # principal axis of the 2x2 covariance (closed form)
     tr_half = (cxx + cyy) * 0.5
@@ -180,7 +188,80 @@ def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
     quads = jnp.stack([c - du - dv, c + du - dv, c + du + dv, c - du + dv],
                       axis=1)
 
+    # exact box_score_fast on device: mean prob over the PRE-unclip rect's
+    # even-odd raster mask, evaluated analytically per scanline against a
+    # row-wise prob integral (convex quad → one interval per row).
+    du0 = jnp.stack([ux, uy], -1) * (w_rect * 0.5)[:, None]
+    dv0 = jnp.stack([vx, vy], -1) * (h_rect * 0.5)[:, None]
+    pre_quads = jnp.stack(
+        [c - du0 - dv0, c + du0 - dv0, c + du0 + dv0, c - du0 + dv0], axis=1)
+    score = _quad_mask_mean(prob, pre_quads, in_valid)
+
     post_sside = jnp.minimum(w_rect + 2 * d, h_rect + 2 * d)
     valid = present & (score >= box_thresh) & (sside >= min_size) & \
         (post_sside >= min_size + 2)
     return quads, score, valid
+
+
+def _quad_mask_mean(prob, quads, in_valid):
+    """Mean of prob inside each quad's even-odd raster mask, matching the
+    host scorer's convention (ops/geometry.fill_poly_mask: pixel (x, y)
+    is inside iff an odd number of edge crossings lie strictly right of
+    x). quads: (K, 4, 2) float. Uses an exclusive row cumsum so each
+    row's contribution is one interval lookup."""
+    H, W = prob.shape
+    K = quads.shape[0]
+    masked = jnp.where(in_valid, prob, 0.0)
+    # exclusive cumsum along x: csum[y, i] = sum(prob[y, :i])
+    csum = jnp.concatenate(
+        [jnp.zeros((H, 1), jnp.float32),
+         jnp.cumsum(masked.astype(jnp.float32), axis=1)], axis=1)
+
+    # host scorer shifts vertices by the int bbox corner and truncates to
+    # int32; reproduce that quantization
+    bx = jnp.clip(jnp.floor(jnp.min(quads[..., 0], axis=1)), 0, W - 1)
+    by = jnp.clip(jnp.floor(jnp.min(quads[..., 1], axis=1)), 0, H - 1)
+    qx = jnp.trunc(quads[..., 0] - bx[:, None]) + bx[:, None]
+    qy = jnp.trunc(quads[..., 1] - by[:, None]) + by[:, None]
+
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :]         # (1, H)
+    x_lo = jnp.full((K, H), jnp.float32(W))
+    x_hi = jnp.full((K, H), jnp.float32(0))
+    n_cross = jnp.zeros((K, H), jnp.int32)
+    for i in range(4):
+        j = (i + 3) % 4
+        yi, yj = qy[:, i:i + 1], qy[:, j:j + 1]
+        xi, xj = qx[:, i:i + 1], qx[:, j:j + 1]
+        crosses = (yi > ys) != (yj > ys)
+        t = (ys - yi) / jnp.where(yj == yi, 1.0, yj - yi)
+        xint = xi + (xj - xi) * t
+        x_lo = jnp.where(crosses, jnp.minimum(x_lo, xint), x_lo)
+        x_hi = jnp.where(crosses, jnp.maximum(x_hi, xint), x_hi)
+        n_cross = n_cross + crosses.astype(jnp.int32)
+    has = n_cross >= 2
+    # inside pixels: ceil(x_lo) <= px < ceil(x_hi)  (px < xint convention)
+    lo = jnp.clip(jnp.ceil(x_lo), 0, W).astype(jnp.int32)
+    hi = jnp.clip(jnp.ceil(x_hi), 0, W).astype(jnp.int32)
+    lo = jnp.minimum(lo, hi)
+    row_idx = jnp.broadcast_to(jnp.arange(H)[None, :], (K, H))
+    seg_sum = csum[row_idx, hi] - csum[row_idx, lo]
+    seg_cnt = (hi - lo).astype(jnp.float32)
+    seg_sum = jnp.where(has, seg_sum, 0.0)
+    seg_cnt = jnp.where(has, seg_cnt, 0.0)
+    total = jnp.sum(seg_sum, axis=1)
+    count = jnp.sum(seg_cnt, axis=1)
+    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
+
+
+def unpack_boxes(packed: np.ndarray, resize_w: int, resize_h: int,
+                 src_w: int, src_h: int) -> np.ndarray:
+    """Host side of the device fast path: select valid rows of a
+    (K, 10) packed array and rescale map coords → source coords with the
+    reference round/clip contract (db_postprocess.py:141-147)."""
+    rows = packed[packed[:, 9] > 0.5]
+    quads = rows[:, :8].reshape(-1, 4, 2).astype(np.float64)
+    quads[..., 0] = np.clip(np.round(quads[..., 0] / resize_w * src_w),
+                            0, src_w)
+    quads[..., 1] = np.clip(np.round(quads[..., 1] / resize_h * src_h),
+                            0, src_h)
+    return quads.astype(np.int32)

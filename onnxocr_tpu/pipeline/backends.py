@@ -77,7 +77,11 @@ class DetForward:
 
     def _encode(self, prob):
         if self.map_dtype == "uint8":
-            return jnp.round(prob * 255.0).astype(jnp.uint8)
+            # floor (not round): round can lift sub-threshold pixels above
+            # det_db_thresh, and on maps whose background plateau sits near
+            # the threshold that manufactures thousands of speckle contours
+            # — enough to push real boxes past max_candidates
+            return jnp.floor(prob * 255.0).astype(jnp.uint8)
         if self.map_dtype == "float16":
             return prob.astype(jnp.float16)
         return prob.astype(jnp.float32)
@@ -148,6 +152,38 @@ class DetForward:
 
             self._jit_pages_u8 = jax.jit(fn)
         return self._jit_pages_u8(pages_u8)
+
+    def make_pages_boxes_fn(self, pp, max_k: int):
+        """Batched det + ON-DEVICE box extraction: (B, Hb, Wb, 3) uint8 det
+        canvases + (B, 2) resize extents → (B, max_k, 10) packed rows
+        [8 quad coords, score, valid] (ops/db_device.py). Only kilobytes
+        cross the wire per batch."""
+        from ..ops import db_device
+
+        def one(prob, rh, rw):
+            quads, scores, valid = db_device.device_boxes(
+                prob, rh, rw, max_k=max_k, thresh=pp.thresh,
+                box_thresh=pp.box_thresh, unclip_ratio=pp.unclip_ratio,
+                min_size=float(pp.min_size))
+            return jnp.concatenate(
+                [quads.reshape(max_k, 8), scores[:, None],
+                 valid[:, None].astype(jnp.float32)], axis=-1)
+
+        def fn(batch):
+            pages, rhw = batch["pages"], batch["rhw"]
+            x = det_pre.normalize_det(pages).astype(self.dtype)
+            if self.backend == "native":
+                prob = dbnet.apply(self.params, x, backbone_arch=self.arch)
+            else:
+                xt = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
+                out = self.executor._interpret(
+                    self.executor._get_device_weights(),
+                    {self.executor.input_names[0]: xt})[0]
+                prob = out[:, 0]
+            return jax.vmap(one)(prob.astype(jnp.float32),
+                                 rhw[:, 0], rhw[:, 1])
+
+        return jax.jit(fn)
 
     # --- engine-level page batching: N source pages → N prob maps in ONE
     # device call (resize + forward + encode fused). Pages share a source

@@ -65,10 +65,17 @@ class TextDetector:
             return False
         if mesh is not None and self.forward.backend != "native":
             mesh = None
+        post = None
+        if getattr(self.args, "tpu_det_postprocess", "host") == "device" \
+                and self.args.det_box_type == "quad" \
+                and not self.args.use_dilation:
+            post = self.postprocess_op  # boxes mode: device DB extraction
         from ..runtime.batcher import DetPageBatcher
         self._page_batcher = DetPageBatcher(
             self.forward, self.limit_side_len, self.limit_type,
-            max_wait_ms=max_wait_ms, mesh=mesh)
+            max_wait_ms=max_wait_ms, mesh=mesh, post=post,
+            max_boxes=int(getattr(self.args, "tpu_det_max_boxes", 256)),
+            bucket=self.bucket)
         return True
 
     def order_points_clockwise(self, pts: np.ndarray) -> np.ndarray:
@@ -168,14 +175,7 @@ class TextDetector:
         packed = np.asarray(self._jit_boxes(
             image_dev, jnp.int32(src_h), jnp.int32(src_w), jnp.int32(rh),
             jnp.int32(rw), out_h=hb, out_w=wb))
-        rows = packed[packed[:, 9] > 0.5]
-        quads = rows[:, :8].reshape(-1, 4, 2).astype(np.float64)
-        # rescale map coords → source coords (boxes_from_bitmap :143-146)
-        quads[..., 0] = np.clip(np.round(quads[..., 0] / rw * src_w),
-                                0, src_w)
-        quads[..., 1] = np.clip(np.round(quads[..., 1] / rh * src_h),
-                                0, src_h)
-        return quads.astype(np.int32)
+        return db_device.unpack_boxes(packed, rw, rh, src_w, src_h)
 
     def infer_prob_map_device(self, image_dev, src_h: int, src_w: int):
         """Device det-resize path: the HBM-resident (edge-padded) original
@@ -212,6 +212,9 @@ class TextDetector:
 
     def __call__(self, img: np.ndarray) -> Optional[np.ndarray]:
         if self._page_batcher is not None:
+            if self._page_batcher.post is not None:
+                raw = self._page_batcher.submit_boxes(img)
+                return self.filter_tag_det_res(raw, img.shape)
             prob, shape_info = self._page_batcher.submit(img)
         else:
             prob, shape_info = self.infer_prob_map(img)

@@ -110,7 +110,15 @@ class TextSystem:
             not self.args.use_dilation and
             self.text_detector.limit_type == "max" and
             self.text_detector.image_shape is None)
-        if det_post_device:
+        batcher = self.text_detector._page_batcher
+        if batcher is not None and batcher.post is not None:
+            # cross-request batched det + on-device DB extraction: only
+            # K quads per page cross the wire
+            with timer.stage("det"):
+                raw = batcher.submit_boxes(img)
+                dt_boxes = self.text_detector.filter_tag_det_res(
+                    raw, img.shape)
+        elif det_post_device:
             # fast path: det postprocess runs on device; only K candidate
             # quads cross the wire (ops/db_device.py)
             from ..ops import resize_dev

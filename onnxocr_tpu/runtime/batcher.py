@@ -51,9 +51,11 @@ class MicroBatcher:
         self._q.put(None)  # wake
         self._thread.join(timeout=2)
 
-    def submit(self, item: np.ndarray):
-        """Blocking: item (B, ...) → fn's output sliced back to B rows."""
-        work = _Work(np.asarray(item))
+    def submit(self, item):
+        """Blocking: item — an array (B, ...) or a pytree of arrays sharing
+        the leading batch dim — → fn's output sliced back to B rows."""
+        import jax
+        work = _Work(jax.tree_util.tree_map(np.asarray, item))
         self._q.put(work)
         work.event.wait()
         if work.error is not None:
@@ -61,13 +63,18 @@ class MicroBatcher:
         return work.result
 
     # ------------------------------------------------------------ internals
+    @staticmethod
+    def _batch_size(item) -> int:
+        import jax
+        return jax.tree_util.tree_leaves(item)[0].shape[0]
+
     def _loop(self):
         while not self._stop:
             work = self._q.get()
             if work is None:
                 continue
             batch: List[_Work] = [work]
-            total = work.item.shape[0]
+            total = self._batch_size(work.item)
             deadline = None
             while total < self.max_batch:
                 try:
@@ -80,34 +87,46 @@ class MicroBatcher:
                     break
                 deadline = 0.0  # only wait once per batch
                 batch.append(nxt)
-                total += nxt.item.shape[0]
+                total += self._batch_size(nxt.item)
             self._run(batch)
 
+    @staticmethod
+    def _group_key(item):
+        leaves, treedef = jax.tree_util.tree_flatten(item)
+        return (treedef,
+                tuple((a.shape[1:], a.dtype.str) for a in leaves))
+
     def _run(self, batch: List[_Work]):
-        # group by trailing shape (same bucket) — different buckets run
-        # separately but still amortize dispatch.
+        # group by structure + trailing shapes (same bucket) — different
+        # buckets run separately but still amortize dispatch.
         groups: Dict[tuple, List[_Work]] = {}
         for w in batch:
-            groups.setdefault(w.item.shape[1:], []).append(w)
-        for shape, works in groups.items():
+            groups.setdefault(self._group_key(w.item), []).append(w)
+        for _key, works in groups.items():
             try:
-                arrays = [w.item for w in works]
-                n = sum(a.shape[0] for a in arrays)
+                sizes = [self._batch_size(w.item) for w in works]
+                n = sum(sizes)
                 bsz = next((b for b in self.batch_ladder if n <= b),
                            self.batch_ladder[-1])
                 if bsz < n:
                     bsz = n
-                stacked = np.concatenate(arrays, axis=0)
-                if bsz > n:
-                    pad = np.zeros((bsz - n,) + shape, stacked.dtype)
-                    stacked = np.concatenate([stacked, pad], axis=0)
+
+                def stack(*leaves):
+                    out = np.concatenate(leaves, axis=0)
+                    if bsz > n:
+                        pad = np.zeros((bsz - n,) + out.shape[1:],
+                                       out.dtype)
+                        out = np.concatenate([out, pad], axis=0)
+                    return out
+
+                stacked = jax.tree_util.tree_map(
+                    stack, works[0].item, *[w.item for w in works[1:]])
                 out = self.fn(stacked)
                 out_np = jax.tree_util.tree_map(np.asarray, out)
                 off = 0
-                for w in works:
-                    k = w.item.shape[0]
+                for w, k in zip(works, sizes):
                     w.result = jax.tree_util.tree_map(
-                        lambda a: a[off:off + k], out_np)
+                        lambda a, o=off, kk=k: a[o:o + kk], out_np)
                     off += k
                     w.event.set()
             except BaseException as e:  # propagate to all waiters
@@ -130,14 +149,21 @@ class DetPageBatcher:
 
     def __init__(self, det_forward, limit_side_len: float = 960,
                  limit_type: str = "max", max_wait_ms: float = 8.0,
-                 batch_ladder: Sequence[int] = (1, 2, 4, 8), mesh=None):
-        from ..ops import det_pre
+                 batch_ladder: Sequence[int] = (1, 2, 4, 8), mesh=None,
+                 post=None, max_boxes: int = 256, bucket: int = 320):
         assert limit_type == "max"
         self.forward = det_forward
         self.limit_side_len = limit_side_len
         self.limit_type = limit_type
-        self.side = det_pre.round_up(int(limit_side_len), 32)
-        fn = det_forward.call_pages_u8
+        self.bucket = bucket
+        self.post = post
+        if post is not None:
+            # boxes mode: det forward AND DB box extraction run on device
+            # per batch; submit_boxes returns unpacked source-coord quads
+            fn = det_forward.make_pages_boxes_fn(post, max_boxes)
+            mesh = None  # sharded variant of the boxes program: not yet
+        else:
+            fn = det_forward.call_pages_u8
         if mesh is not None:
             # multi-chip serving: shard the page batch over the mesh's
             # `data` axis — weights replicate, XLA partitions the batch,
@@ -189,19 +215,35 @@ class DetPageBatcher:
     def close(self):
         self.batcher.close()
 
+    # NOTE canvas bucketing: pages are padded to the same per-page
+    # /det-bucket canvas the unbatched host path uses (NOT one fixed
+    # max canvas). The backbone's SE blocks take GLOBAL average pools, so
+    # activations depend on how much zero padding the canvas carries —
+    # page batches group by canvas shape (the MicroBatcher's group key) to
+    # keep batched outputs equal to the unbatched path.
+    def _prepare(self, img: np.ndarray):
+        from ..ops import det_pre
+        return det_pre.prepare_det_input(
+            img, self.limit_side_len, self.limit_type, bucket=self.bucket)
+
     def submit(self, img: np.ndarray):
         """BGR page → (prob_map (rh, rw) float32, shape_info)."""
-        from ..ops import det_pre
-        padded, shape_info, (rh, rw) = det_pre.prepare_det_input(
-            img, self.limit_side_len, self.limit_type, bucket=self.side)
-        if padded.shape[:2] != (self.side, self.side):
-            # defensive: an off-canvas resize target (shouldn't happen for
-            # limit_type='max') runs unbatched
-            out = np.asarray(self.forward(padded))
-            return self.forward.decode_map(out)[:rh, :rw], shape_info
+        padded, shape_info, (rh, rw) = self._prepare(img)
         out = self.batcher.submit(padded[None])
         return self.forward.decode_map(np.asarray(out[0]))[:rh, :rw], \
             shape_info
+
+    def submit_boxes(self, img: np.ndarray) -> np.ndarray:
+        """BGR page → (N, 4, 2) int32 quads in source coords (boxes mode:
+        batched forward + on-device DB extraction, ops/db_device.py)."""
+        from ..ops import db_device
+        assert self.post is not None
+        padded, _info, (rh, rw) = self._prepare(img)
+        src_h, src_w = img.shape[:2]
+        packed = np.asarray(self.batcher.submit(
+            {"pages": padded[None],
+             "rhw": np.array([[rh, rw]], np.int32)})[0])
+        return db_device.unpack_boxes(packed, rw, rh, src_w, src_h)
 
 
 class BatchedForward:
