@@ -121,8 +121,10 @@ class TextDetector:
             img, self.limit_side_len, self.limit_type, self.bucket,
             image_shape=self.image_shape, keep_ratio=self.keep_ratio)
         prob_padded = self.forward(padded)
+        # slice to the valid region ON DEVICE so only rh*rw bytes cross the
+        # tunnel, not the padded bucket
         prob = backends.DetForward.decode_map(
-            np.asarray(prob_padded))[:rh, :rw]
+            np.asarray(prob_padded[:rh, :rw]))
         return prob, shape_info
 
     # ------------------------------------------------- device box extraction
@@ -196,7 +198,7 @@ class TextDetector:
             jnp.int32(rw), hb, wb)
         prob_padded = self.forward.call_normalized(x)
         prob = backends.DetForward.decode_map(
-            np.asarray(prob_padded))[:rh, :rw]
+            np.asarray(prob_padded[:rh, :rw]))
         shape_info = np.array([src_h, src_w, rh / float(src_h),
                                rw / float(src_w)], dtype=np.float64)
         return prob, shape_info

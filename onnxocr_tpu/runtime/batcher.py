@@ -230,8 +230,12 @@ class DetPageBatcher:
         """BGR page → (prob_map (rh, rw) float32, shape_info)."""
         padded, shape_info, (rh, rw) = self._prepare(img)
         out = self.batcher.submit(padded[None])
-        return self.forward.decode_map(np.asarray(out[0]))[:rh, :rw], \
-            shape_info
+        out0 = out[0]
+        if not isinstance(out0, np.ndarray):
+            out0 = np.asarray(out0[:rh, :rw])  # device-side slice
+        else:
+            out0 = out0[:rh, :rw]
+        return self.forward.decode_map(out0), shape_info
 
     def submit_boxes(self, img: np.ndarray) -> np.ndarray:
         """BGR page → (N, 4, 2) int32 quads in source coords (boxes mode:
