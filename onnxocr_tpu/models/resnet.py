@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Sequence
 
+import numpy as np
 import jax.numpy as jnp
 
 from . import common as cm
@@ -40,6 +41,12 @@ def init(rng, depth: int = 18, in_ch: int = 3, dtype=jnp.float32
                 "conv2": cm.convbn_init(next(keys), 3, cout, cout,
                                         dtype=dtype),
             }
+            # SkipInit: zero the residual branch's final scale so every
+            # block starts as identity. The BN here is an inference-style
+            # learned affine (no batch statistics), and an 18-layer
+            # residual stack without real normalization doesn't train from
+            # scratch otherwise (round-1/2 runs plateaued).
+            blk["conv2"]["bn"]["scale"] = np.zeros((cout,), dtype)
             if cin != cout:
                 blk["short"] = cm.convbn_init(next(keys), 1, cin, cout,
                                               dtype=dtype)
