@@ -192,6 +192,12 @@ DEFAULTS = {
     # up to tpu_microbatch_wait_ms latency per call, so it defaults off for
     # the library and is enabled by the serving engine / batch layer.
     "tpu_det_microbatch": False,
+    # Cross-request cls+rec crop batching: concurrent pages' crop chunks of
+    # the same (source bucket, width bucket) coalesce into one fused
+    # warp→cls→warp→rec device call (runtime/batcher.RecCropBatcher over
+    # ops/warp.warp_crops_multi). Same latency tradeoff as det batching, so
+    # it defaults off for the library and is enabled by the serving engine.
+    "tpu_rec_microbatch": False,
     "tpu_microbatch_wait_ms": 8.0,
     # Opt-in to randomly initialized weights when neither a model file nor
     # a trained checkpoint exists (default: fail loudly like the reference

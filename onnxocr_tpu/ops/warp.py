@@ -210,6 +210,92 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
     return jax.vmap(one)(mats, valid_w)
 
 
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "interp"))
+def warp_crops_multi(images_u8: jax.Array, img_idx: jax.Array,
+                     mats: jax.Array, valid_w: jax.Array,
+                     out_h: int, out_w: int,
+                     interp: str = "bicubic") -> jax.Array:
+    """Multi-source variant of warp_crops: N crops gather from a BATCH of
+    source images (cross-request rec batching — crops from concurrent pages
+    fuse into one device call).
+
+    Args:
+      images_u8: (B, H, W, 3) uint8 sources sharing one padded bucket.
+      img_idx: (N,) int32 source row per crop.
+      mats / valid_w / out_*: as in warp_crops.
+    Returns (N, out_h, out_w, 3) float32 normalized crops.
+    """
+    B, H, W = images_u8.shape[:3]
+    flat = images_u8.reshape(-1, 3).astype(jnp.float32)
+
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(xs, ys)
+
+    def one(mat, vw, base):
+        u = mat[0, 0] * gx + mat[0, 1] * gy + mat[0, 2]
+        v = mat[1, 0] * gx + mat[1, 1] * gy + mat[1, 2]
+        w = mat[2, 0] * gx + mat[2, 1] * gy + mat[2, 2]
+        inv_w = 1.0 / w
+        sx = jnp.clip(u * inv_w, 0.0, W - 1.0)
+        sy = jnp.clip(v * inv_w, 0.0, H - 1.0)
+        if interp == "bicubic":
+            vals = _sample_bicubic_off(flat, H, W, sx, sy, base)
+        else:
+            vals = _sample_bilinear_off(flat, H, W, sx, sy, base)
+        vals = jnp.clip(vals, 0.0, 255.0)
+        norm = (vals / 255.0 - 0.5) / 0.5
+        mask = (gx < vw)[..., None]
+        return jnp.where(mask, norm, 0.0)
+
+    base = img_idx.astype(jnp.int32) * (H * W)
+    return jax.vmap(one)(mats, valid_w, base)
+
+
+def _sample_bilinear_off(flat, H, W, sx, sy, base):
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def tap(yy, xx):
+        yy = jnp.clip(yy, 0, H - 1)
+        xx = jnp.clip(xx, 0, W - 1)
+        return jnp.take(flat, base + yy * W + xx, axis=0)
+
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = tap(y0, x0) * (1 - fx) + tap(y0, x0 + 1) * fx
+    bot = tap(y0 + 1, x0) * (1 - fx) + tap(y0 + 1, x0 + 1) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _sample_bicubic_off(flat, H, W, sx, sy, base):
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    wx = _cubic_weights(fx)
+    wy = _cubic_weights(fy)
+
+    def tap(yy, xx):
+        yy = jnp.clip(yy, 0, H - 1)
+        xx = jnp.clip(xx, 0, W - 1)
+        return jnp.take(flat, base + yy * W + xx, axis=0)
+
+    out = 0.0
+    for j in range(4):
+        row = 0.0
+        for i in range(4):
+            row = row + tap(y0 + j - 1, x0 + i - 1) * wx[i][..., None]
+        out = out + row * wy[j][..., None]
+    return out
+
+
 def warp_crops_host(image: np.ndarray, mats: np.ndarray, valid_w: np.ndarray,
                     out_h: int, out_w: int) -> np.ndarray:
     """cv2-based host fallback with identical output contract (used for

@@ -66,6 +66,50 @@ class FusedClsRec:
 
         return jax.jit(step, static_argnames=("out_h", "out_w"))
 
+    def _build_multi(self, use_cls: bool):
+        """Cross-image variant: crops gather from a BATCH of source pages
+        (warp_crops_multi) so concurrent requests' cls+rec fuse into one
+        device call (runtime/batcher.RecPageBatcher)."""
+        cls_fn = self.cls_forward._native_fn if \
+            self.cls_forward is not None and \
+            self.cls_forward.backend == "native" else \
+            (self.cls_forward._graph_fn if self.cls_forward else None)
+        rec_fn = self.rec_forward._native_fn if \
+            self.rec_forward.backend == "native" else self.rec_forward._graph_fn
+
+        def step(images_u8, img_idx, cls_mats, cls_valid, rec_mats,
+                 rec_mats_rot, rec_valid, out_h: int, out_w: int):
+            if use_cls:
+                cls_crops = warp_ops.warp_crops_multi(
+                    images_u8, img_idx, cls_mats, cls_valid,
+                    self.cls_h, self.cls_w, self.interp)
+                cls_probs = cls_fn(cls_crops)
+                rot = (jnp.argmax(cls_probs, axis=1) == self.idx180) & \
+                    (cls_probs[:, self.idx180] > self.cls_thresh)
+                mats = jnp.where(rot[:, None, None], rec_mats_rot, rec_mats)
+            else:
+                mats = rec_mats
+            crops = warp_ops.warp_crops_multi(images_u8, img_idx, mats,
+                                              rec_valid, out_h, out_w,
+                                              self.interp)
+            idx, prob = rec_fn(crops)
+            return idx, prob
+
+        return jax.jit(step, static_argnames=("out_h", "out_w"))
+
+    def call_multi(self, images_u8, img_idx, cls_mats, cls_valid, rec_mats,
+                   rec_mats_rot, rec_valid, out_h: int, out_w: int,
+                   use_cls: bool = True):
+        key = ("multi", use_cls)
+        fn = self._jit.get(key)
+        if fn is None:
+            fn = self._build_multi(use_cls)
+            self._jit[key] = fn
+        return fn(jnp.asarray(images_u8), jnp.asarray(img_idx),
+                  jnp.asarray(cls_mats), jnp.asarray(cls_valid),
+                  jnp.asarray(rec_mats), jnp.asarray(rec_mats_rot),
+                  jnp.asarray(rec_valid), out_h, out_w)
+
     def __call__(self, image_u8_dev, cls_mats, cls_valid, rec_mats,
                  rec_mats_rot, rec_valid, out_h: int, out_w: int,
                  use_cls: bool = True):

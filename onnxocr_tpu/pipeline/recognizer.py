@@ -51,6 +51,19 @@ class TextRecognizer:
             allow_untrained=getattr(args, "tpu_allow_untrained", False))
         self.forward = backends.RecForward(backend, path, params, dtype)
         self.forward.arch = arch
+        self._crop_batcher = None
+        if getattr(args, "tpu_rec_microbatch", False):
+            self.enable_crop_batching(
+                max_wait_ms=float(getattr(args, "tpu_microbatch_wait_ms",
+                                          8.0)))
+
+    def enable_crop_batching(self, max_wait_ms: float = 4.0) -> None:
+        """Cross-request cls+rec batching: concurrent pages' crop chunks of
+        the same (source bucket, width bucket) run as ONE fused device call
+        (runtime/batcher.RecCropBatcher + ops/warp.warp_crops_multi)."""
+        from ..runtime.batcher import RecCropBatcher
+        self._crop_batcher = RecCropBatcher(
+            max_wait_ms=max_wait_ms, batch_ladder=self.batch_ladder)
 
     # ---------------------------------------------------------------- shared
     def _decode_chunk(self, crops: np.ndarray, valid_ws: List[int],
@@ -196,13 +209,12 @@ class TextRecognizer:
         eye = np.eye(3, dtype=np.float32)
         for bucket_w, indices in groups.items():
             for chunk in batching.chunks_of(indices, max_batch):
-                bsz = batching.pick_batch_bucket(len(chunk),
-                                                 self.batch_ladder)
-                rec_mats = np.tile(eye, (bsz, 1, 1))
-                rot_mats = np.tile(eye, (bsz, 1, 1))
-                cls_mats = np.tile(eye, (bsz, 1, 1))
-                rec_valid = np.zeros(bsz, np.int32)
-                cls_valid = np.zeros(bsz, np.int32)
+                k = len(chunk)
+                rec_mats = np.tile(eye, (k, 1, 1))
+                rot_mats = np.tile(eye, (k, 1, 1))
+                cls_mats = np.tile(eye, (k, 1, 1))
+                rec_valid = np.zeros(k, np.int32)
+                cls_valid = np.zeros(k, np.int32)
                 for row, i in enumerate(chunk):
                     rec_mats[row], rec_valid[row] = \
                         warp_ops.build_crop_matrix(boxes[i], imgH, bucket_w)
@@ -210,14 +222,30 @@ class TextRecognizer:
                         boxes[i], imgH, bucket_w, rotate180=True)
                     cls_mats[row], cls_valid[row] = \
                         warp_ops.build_crop_matrix(boxes[i], cls_h, cls_w)
-                idx, prob, _cls_probs, _rot = fused(
-                    image_u8_dev, cls_mats, cls_valid, rec_mats, rot_mats,
-                    rec_valid, imgH, bucket_w, use_cls=use_cls)
-                idx = np.asarray(idx)[: len(chunk)]
-                prob = np.asarray(prob)[: len(chunk)]
+                if self._crop_batcher is not None:
+                    # cross-request path: the batcher coalesces chunks from
+                    # concurrent pages and pads across requests
+                    idx, prob = self._crop_batcher.submit(
+                        fused, image_u8_dev, cls_mats, cls_valid, rec_mats,
+                        rot_mats, rec_valid, imgH, bucket_w, use_cls)
+                else:
+                    bsz = batching.pick_batch_bucket(k, self.batch_ladder)
+                    if bsz > k:
+                        pad_m = np.tile(eye, (bsz - k, 1, 1))
+                        pad_v = np.zeros(bsz - k, np.int32)
+                        rec_mats = np.concatenate([rec_mats, pad_m])
+                        rot_mats = np.concatenate([rot_mats, pad_m])
+                        cls_mats = np.concatenate([cls_mats, pad_m])
+                        rec_valid = np.concatenate([rec_valid, pad_v])
+                        cls_valid = np.concatenate([cls_valid, pad_v])
+                    idx, prob, _cls_probs, _rot = fused(
+                        image_u8_dev, cls_mats, cls_valid, rec_mats,
+                        rot_mats, rec_valid, imgH, bucket_w, use_cls=use_cls)
+                idx = np.asarray(idx)[:k]
+                prob = np.asarray(prob)[:k]
                 stride = bucket_w // idx.shape[1]
                 valid_t = [min(idx.shape[1], math.ceil(w / stride))
-                           for w in rec_valid[: len(chunk)]]
+                           for w in rec_valid[:k]]
                 out = self.postprocess_op.decode_indices(
                     idx, prob, is_remove_duplicate=True, valid_t=valid_t)
                 for i, res in zip(chunk, out):

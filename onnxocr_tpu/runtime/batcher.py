@@ -250,6 +250,165 @@ class DetPageBatcher:
         return db_device.unpack_boxes(packed, rw, rh, src_w, src_h)
 
 
+class RecCropBatcher:
+    """Cross-request cls+rec batching (the round-2 "stacked multi-source
+    warp" gap): concurrent pages' crop chunks that share a (source bucket,
+    width bucket) coalesce into ONE fused warp→cls→warp→rec device call
+    (pipeline/fused.FusedClsRec.call_multi over ops/warp.warp_crops_multi).
+
+    Pages are passed as separate device-resident args and stacked INSIDE the
+    jit, so a page already uploaded for the single-image path costs no extra
+    wire bytes; padding the image batch up the ladder re-passes page 0
+    (same buffer, no transfer) instead of shipping zero canvases.
+    """
+
+    def __init__(self, max_wait_ms: float = 4.0,
+                 batch_ladder: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
+                 img_ladder: Sequence[int] = (1, 2, 4)):
+        self.batch_ladder = tuple(batch_ladder)
+        self.img_ladder = tuple(img_ladder)
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue[_Work]" = queue.Queue()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="ocr-recbatcher")
+        self._thread.start()
+
+    def close(self):
+        self._stop = True
+        self._q.put(None)
+        self._thread.join(timeout=2)
+
+    def submit(self, fused, image_dev, cls_mats, cls_valid, rec_mats,
+               rot_mats, rec_valid, out_h: int, bucket_w: int,
+               use_cls: bool):
+        """One page's crop chunk → (idx, prob) numpy arrays (k rows, where
+        k = len(cls_mats)). Blocks until the coalesced device call returns."""
+        work = _Work({
+            "fused": fused, "image": image_dev,
+            "cls_mats": np.asarray(cls_mats, np.float32),
+            "cls_valid": np.asarray(cls_valid, np.int32),
+            "rec_mats": np.asarray(rec_mats, np.float32),
+            "rot_mats": np.asarray(rot_mats, np.float32),
+            "rec_valid": np.asarray(rec_valid, np.int32),
+            "out_h": out_h, "bucket_w": bucket_w, "use_cls": use_cls})
+        self._q.put(work)
+        work.event.wait()
+        if work.error is not None:
+            raise work.error
+        return work.result
+
+    def _loop(self):
+        while not self._stop:
+            work = self._q.get()
+            if work is None:
+                continue
+            batch: List[_Work] = [work]
+            deadline_used = False
+            while len(batch) < self.img_ladder[-1]:
+                try:
+                    nxt = self._q.get(
+                        timeout=self.max_wait if not deadline_used else 0.0)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                deadline_used = True
+                batch.append(nxt)
+            self._run(batch)
+
+    @staticmethod
+    def _group_key(item):
+        return (tuple(item["image"].shape), item["bucket_w"],
+                item["out_h"], item["use_cls"], id(item["fused"]))
+
+    def _run(self, batch: List[_Work]):
+        groups: Dict[tuple, List[_Work]] = {}
+        for w in batch:
+            groups.setdefault(self._group_key(w.item), []).append(w)
+        max_n = self.batch_ladder[-1]
+        for _key, works in groups.items():
+            # greedy-pack so a coalesced group never exceeds the batch
+            # ladder (no ad-hoc compile shapes)
+            packs: List[List[_Work]] = []
+            cur: List[_Work] = []
+            cur_n = 0
+            for w in works:
+                k = len(w.item["cls_mats"])
+                if cur and cur_n + k > max_n:
+                    packs.append(cur)
+                    cur, cur_n = [], 0
+                cur.append(w)
+                cur_n += k
+            if cur:
+                packs.append(cur)
+            for pack in packs:
+                try:
+                    self._run_group(pack)
+                except BaseException as e:
+                    for w in pack:
+                        if not w.event.is_set():
+                            w.error = e
+                            w.event.set()
+
+    def _run_group(self, works: List[_Work]):
+        item0 = works[0].item
+        fused = item0["fused"]
+        out_h = item0["out_h"]
+        bucket_w = item0["bucket_w"]
+        use_cls = item0["use_cls"]
+        sizes = [len(w.item["cls_mats"]) for w in works]
+        n = sum(sizes)
+        n_img = len(works)
+        b_img = next((b for b in self.img_ladder if n_img <= b),
+                     self.img_ladder[-1])
+        if b_img < n_img:
+            b_img = n_img
+        bsz = next((b for b in self.batch_ladder if n <= b),
+                   self.batch_ladder[-1])
+        if bsz < n:
+            bsz = n
+        images = [w.item["image"] for w in works]
+        images += [images[0]] * (b_img - n_img)  # re-pass, not re-upload
+        img_idx = np.zeros(bsz, np.int32)
+        eye = np.eye(3, dtype=np.float32)
+
+        def pack(key, pad_val=None):
+            parts = [w.item[key] for w in works]
+            out = np.concatenate(parts, axis=0)
+            if bsz > n:
+                if pad_val is None:
+                    pad = np.zeros((bsz - n,) + out.shape[1:], out.dtype)
+                else:
+                    pad = np.tile(pad_val, (bsz - n,) + (1,) * pad_val.ndim)
+                out = np.concatenate([out, pad], axis=0)
+            return out
+
+        off = 0
+        for row, k in enumerate(sizes):
+            img_idx[off:off + k] = row
+            off += k
+        idx, prob = fused.call_multi(
+            _stack_pages(images), img_idx,
+            pack("cls_mats", eye), pack("cls_valid"),
+            pack("rec_mats", eye), pack("rot_mats", eye),
+            pack("rec_valid"), out_h, bucket_w, use_cls=use_cls)
+        idx = np.asarray(idx)
+        prob = np.asarray(prob)
+        off = 0
+        for w, k in zip(works, sizes):
+            w.result = (idx[off:off + k], prob[off:off + k])
+            off += k
+            w.event.set()
+
+
+def _stack_pages(images):
+    """Stack device/host pages along a new batch axis without forcing a
+    host round trip for device-resident pages."""
+    import jax.numpy as jnp
+    return jnp.stack([jnp.asarray(im) for im in images])
+
+
 class BatchedForward:
     """Wrap a *Forward so its __call__ goes through a MicroBatcher."""
 

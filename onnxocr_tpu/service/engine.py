@@ -68,6 +68,10 @@ class EngineManager:
             # forwards coalesce into one device call (default on — the det
             # forward is the largest per-request device dispatch)
             kwargs["tpu_det_microbatch"] = True
+        if self._rec_batch:
+            # cross-request cls+rec crop batching: concurrent pages' crop
+            # chunks fuse into one multi-source warp→cls→rec device call
+            kwargs["tpu_rec_microbatch"] = True
         if self._micro_batch:
             # cross-request cls/rec crop batching through a host-side
             # MicroBatcher queue. Opt-in: it replaces the per-image fused
@@ -80,6 +84,12 @@ class EngineManager:
     def _det_batch(self) -> bool:
         import os
         return os.environ.get("DET_BATCH", "1").lower() in ("1", "true") \
+            and self.concurrency > 1
+
+    @property
+    def _rec_batch(self) -> bool:
+        import os
+        return os.environ.get("REC_BATCH", "1").lower() in ("1", "true") \
             and self.concurrency > 1
 
     @property

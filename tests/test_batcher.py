@@ -116,3 +116,57 @@ def test_det_page_batcher_parity(test_image):
         b = np.asarray(b, np.float32)
         assert b.shape == ref.shape
         assert np.abs(b - ref).max() <= 3.0
+
+
+def test_warp_crops_multi_matches_single():
+    """warp_crops_multi on a stacked pair == warp_crops per image."""
+    import jax.numpy as jnp
+    from onnxocr_tpu.ops import warp as warp_ops
+
+    rng = np.random.default_rng(0)
+    img_a = rng.integers(0, 256, (64, 96, 3), np.uint8)
+    img_b = rng.integers(0, 256, (64, 96, 3), np.uint8)
+    box_a = np.array([[5, 5], [60, 8], [58, 28], [3, 25]], np.float32)
+    box_b = np.array([[10, 30], [80, 30], [80, 50], [10, 50]], np.float32)
+    mat_a, vw_a = warp_ops.build_crop_matrix(box_a, 48, 320)
+    mat_b, vw_b = warp_ops.build_crop_matrix(box_b, 48, 320)
+
+    single_a = np.asarray(warp_ops.warp_crops(
+        jnp.asarray(img_a), jnp.asarray(mat_a[None]),
+        jnp.asarray(np.array([vw_a], np.int32)), 48, 320))
+    single_b = np.asarray(warp_ops.warp_crops(
+        jnp.asarray(img_b), jnp.asarray(mat_b[None]),
+        jnp.asarray(np.array([vw_b], np.int32)), 48, 320))
+
+    multi = np.asarray(warp_ops.warp_crops_multi(
+        jnp.stack([jnp.asarray(img_a), jnp.asarray(img_b)]),
+        jnp.asarray(np.array([0, 1, 0], np.int32)),
+        jnp.asarray(np.stack([mat_a, mat_b, mat_b])),
+        jnp.asarray(np.array([vw_a, vw_b, vw_b], np.int32)), 48, 320))
+
+    np.testing.assert_allclose(multi[0], single_a[0], atol=1e-5)
+    np.testing.assert_allclose(multi[1], single_b[0], atol=1e-5)
+    # crop 2 warps image A with B's matrix — must differ from crop 1
+    assert np.abs(multi[2] - multi[1]).max() > 0.01
+
+
+def test_rec_crop_batcher_parity(test_image):
+    """Concurrent pages through the cross-request rec batcher produce the
+    same texts/scores as the unbatched fused path."""
+    import concurrent.futures
+    from onnxocr_tpu import ONNXPaddleOcr
+
+    plain = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0)
+    batched = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0,
+                            tpu_rec_microbatch=True)
+    small = test_image[:256, :256]
+    images = [test_image, small, test_image, small]
+    refs = [plain.ocr(im)[0] for im in (test_image, small)]
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+        outs = list(pool.map(lambda im: batched.ocr(im)[0], images))
+    for im, out in zip(images, outs):
+        ref = refs[0] if im.shape == test_image.shape else refs[1]
+        assert [l[1][0] for l in out] == [l[1][0] for l in ref]
+        got_scores = np.array([l[1][1] for l in out])
+        ref_scores = np.array([l[1][1] for l in ref])
+        np.testing.assert_allclose(got_scores, ref_scores, atol=1e-3)
