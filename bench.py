@@ -92,7 +92,10 @@ def main():
     common = dict(use_angle_cls=True, use_gpu=False, drop_score=0.0,
                   tpu_allow_untrained=not real_weights)
     model = ONNXPaddleOcr(**common)                       # library default
-    model_pipe = ONNXPaddleOcr(tpu_det_microbatch=True, **common)  # serving
+    # serving configuration (matches the engine's defaults under
+    # concurrency: DET_BATCH + REC_BATCH cross-request coalescing)
+    model_pipe = ONNXPaddleOcr(tpu_det_microbatch=True,
+                               tpu_rec_microbatch=True, **common)
 
     if not real_weights:
         from onnxocr_tpu.ops import det_pre
@@ -113,18 +116,29 @@ def main():
             det.infer_prob_map = patched
             det._page_batcher = None  # synthetic patch only hooks this path
 
+    def note(msg):
+        print("[bench] %s" % msg, file=sys.stderr, flush=True)
+
     # Warmup: compile every shape bucket this corpus hits, on both models.
     import concurrent.futures
+    note("warmup serial (%d images)" % len(images))
     box_counts = []
-    for im in images:
+    for i, im in enumerate(images):
         res = model.ocr(im)
         box_counts.append(len(res[0]))
+        if (i + 1) % 8 == 0:
+            note("warmup serial %d/%d" % (i + 1, len(images)))
+    note("warmup pipelined (full workload replay)")
+    # Replay the EXACT timed workload once: cross-request coalescing makes
+    # batch shapes load-dependent, so anything short of a replay leaves
+    # shapes to compile inside the timed window (r2 lesson: a single
+    # mid-pass compile costs ~20-60 s and poisons the mean).
+    warm_work = [im for _ in range(ROUNDS) for im in images]
     with concurrent.futures.ThreadPoolExecutor(PIPELINE_THREADS) as pool:
-        # two rounds so every det batch-ladder size the timed pass can form
-        # gets compiled during warmup
-        list(pool.map(model_pipe.ocr, images + images))
+        list(pool.map(model_pipe.ocr, warm_work))
 
     # Serial pass → per-image latency distribution + stage breakdown.
+    note("timed serial pass")
     profiling.GLOBAL.enabled = True
     profiling.GLOBAL.reset()
     lat = []
@@ -140,6 +154,7 @@ def main():
         return lat_ms[min(len(lat_ms) - 1, int(p / 100 * len(lat_ms)))]
 
     # Pipelined pass → throughput in the serving configuration.
+    note("timed pipelined pass (%d rounds)" % ROUNDS)
     work = [im for _ in range(ROUNDS) for im in images]
     t0 = time.perf_counter()
     with concurrent.futures.ThreadPoolExecutor(PIPELINE_THREADS) as pool:

@@ -187,6 +187,15 @@ DEFAULTS = {
     # bit-identical). Quad box_type only; falls back to host otherwise.
     "tpu_det_postprocess": "host",
     "tpu_det_max_boxes": 1024,
+    # One-call pipeline: det→DB boxes→cls→rec as ONE jit with a single
+    # ~50KB download per image (pipeline/onecall.py). Huge win over the
+    # tunneled TPU link where every download costs a ~30ms round trip;
+    # uses the device DB extraction contract (see tpu_det_postprocess
+    # note). 'staged' keeps the default multi-call pipeline.
+    "tpu_pipeline": "staged",
+    "tpu_onecall_rec_width": 640,
+    "tpu_onecall_max_boxes": 64,
+    "tpu_onecall_det_candidates": 256,
     # Cross-request det page batching: concurrent images' DBNet forwards
     # coalesce into one device call (runtime/batcher.DetPageBatcher). Adds
     # up to tpu_microbatch_wait_ms latency per call, so it defaults off for

@@ -86,7 +86,7 @@ def _layer_norm(x, p, eps=1e-6):
     return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
 
 
-def _attn(x, blk):
+def _attn(x, blk, valid_t=None):
     n, t, d = x.shape
     h = _MIXER_HEADS
     qkv = cm.linear(x, blk["qkv"]).reshape(n, t, 3, h, d // h)
@@ -97,6 +97,13 @@ def _attn(x, blk):
     scores = jnp.einsum("nhtd,nhsd->nhts", q, k,
                         preferred_element_type=jnp.float32)
     scores = scores / jnp.sqrt(d // h).astype(scores.dtype)
+    if valid_t is not None:
+        # mask padded key positions so outputs over the valid width are
+        # invariant to the bucket width (static-shape discipline: any
+        # bucket ≥ the crop's resized width produces identical tokens)
+        kmask = (jnp.arange(t)[None, :] <
+                 valid_t[:, None])[:, None, None, :]
+        scores = jnp.where(kmask, scores, jnp.float32(-1e9))
     w = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("nhts,nhsd->nhtd", w, v,
                      preferred_element_type=jnp.float32)
@@ -104,8 +111,14 @@ def _attn(x, blk):
     return cm.linear(out, blk["proj"])
 
 
-def apply_features(params, x) -> jnp.ndarray:
-    """x: (N, 48, W, 3) → (N, W//8, D) pre-head sequence features."""
+def apply_features(params, x, valid_t=None) -> jnp.ndarray:
+    """x: (N, 48, W, 3) → (N, W//8, D) pre-head sequence features.
+
+    valid_t (N,) optionally masks attention keys beyond each row's valid
+    token count (= ceil(resized_w / 8)): the conv stages are local, so
+    with the mask the valid-region features become exactly independent of
+    how much bucket padding follows — one wide bucket can serve crops of
+    any narrower width with bit-identical results."""
     x = cm.conv_bn_act(x, params["stem"], stride=(2, 2), act="hswish")
     for (cout, s), st in zip(_STAGES, params["stages"]):
         x = cm.conv_bn_act(x, st["dw"], stride=s, groups=x.shape[-1],
@@ -116,7 +129,7 @@ def apply_features(params, x) -> jnp.ndarray:
     x = cm.avg_pool(x, (x.shape[1], 2), (x.shape[1], 2))
     x = x[:, 0]  # (N, T, D)
     for blk in params["mixer"]:
-        x = x + _attn(_layer_norm(x, blk["ln1"]), blk)
+        x = x + _attn(_layer_norm(x, blk["ln1"]), blk, valid_t)
         y = _layer_norm(x, blk["ln2"])
         y = cm.linear(y, blk["fc1"])
         y = jax.nn.gelu(y)
@@ -125,6 +138,6 @@ def apply_features(params, x) -> jnp.ndarray:
     return x
 
 
-def apply(params, x) -> jnp.ndarray:
+def apply(params, x, valid_t=None) -> jnp.ndarray:
     """x: (N, 48, W, 3) → (N, W//8, vocab) logits."""
-    return cm.linear(apply_features(params, x), params["head"])
+    return cm.linear(apply_features(params, x, valid_t), params["head"])

@@ -273,32 +273,42 @@ class RecForward:
     # (N*T, 18385) logits to HBM; plain XLA path elsewhere.
     use_pallas_head = True
 
-    def _native_fn(self, crops):
+    def _native_fn(self, crops, valid_t=None):
         if self.arch == "crnn":
+            # BiLSTM state flows over all T steps; width-masking does not
+            # apply — CRNN keeps the per-bucket contract
             from ..models import crnn
             logits = crnn.apply(self.params, crops.astype(self.dtype))
             return ctc_ops.ctc_reduce_logits(logits.astype(jnp.float32))
         if self.use_pallas_head and jax.default_backend() == "tpu":
             from ..ops.pallas.ctc_head import ctc_head_reduce_batched
             feats = svtr.apply_features(self.params,
-                                        crops.astype(self.dtype))
+                                        crops.astype(self.dtype), valid_t)
             return ctc_head_reduce_batched(
                 feats.astype(jnp.float32), self.params["head"]["w"],
                 self.params["head"]["b"])
-        logits = svtr.apply(self.params, crops.astype(self.dtype))
+        logits = svtr.apply(self.params, crops.astype(self.dtype), valid_t)
         return ctc_ops.ctc_reduce_logits(logits.astype(jnp.float32))
 
-    def _graph_fn(self, crops):
+    def _graph_fn(self, crops, valid_t=None):
         x = jnp.transpose(crops, (0, 3, 1, 2))
         probs = self.executor._interpret(
             self.executor._get_device_weights(),
             {self.executor.input_names[0]: x})[0]
         return ctc_ops.ctc_reduce(probs)
 
-    def __call__(self, crops) -> Tuple[jax.Array, jax.Array]:
+    @property
+    def masks_width(self) -> bool:
+        """True when the forward makes valid-region outputs independent of
+        bucket padding (native SVTR attention masking)."""
+        return self.backend == "native" and self.arch == "svtr"
+
+    def __call__(self, crops, valid_t=None) -> Tuple[jax.Array, jax.Array]:
         if self._jit is None:
             fn = self._native_fn if self.backend == "native" else self._graph_fn
             self._jit = jax.jit(fn)
+        if valid_t is not None and self.masks_width:
+            return self._jit(crops, jnp.asarray(valid_t, jnp.int32))
         return self._jit(crops)
 
 

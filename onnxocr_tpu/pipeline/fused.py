@@ -61,7 +61,10 @@ class FusedClsRec:
                 mats = rec_mats
             crops = warp_ops.warp_crops(image_u8, mats, rec_valid, out_h,
                                         out_w, self.interp)
-            idx, prob = rec_fn(crops)
+            if self.rec_forward.masks_width:
+                idx, prob = rec_fn(crops, (rec_valid + 7) // 8)
+            else:
+                idx, prob = rec_fn(crops)
             return idx, prob, cls_probs, rot
 
         return jax.jit(step, static_argnames=("out_h", "out_w"))
@@ -92,7 +95,10 @@ class FusedClsRec:
             crops = warp_ops.warp_crops_multi(images_u8, img_idx, mats,
                                               rec_valid, out_h, out_w,
                                               self.interp)
-            idx, prob = rec_fn(crops)
+            if self.rec_forward.masks_width:
+                idx, prob = rec_fn(crops, (rec_valid + 7) // 8)
+            else:
+                idx, prob = rec_fn(crops)
             return idx, prob
 
         return jax.jit(step, static_argnames=("out_h", "out_w"))

@@ -1,0 +1,207 @@
+"""One-call OCR: det → DB extraction → crop matrices → cls → rec in ONE
+XLA program, with a single device→host download per image.
+
+Motivation (measured on the tunneled TPU, scratch/probe4): uploads stream
+at ~1 GB/s, but EVERY download costs a ~30 ms round trip regardless of
+size. The staged pipeline spends 3-5 downloads per image (det map or det
+boxes, then one per rec width bucket); this module collapses them to one:
+
+    upload padded source → [resize+normalize → DBNet → device DB boxes
+    (ops/db_device.py) → rescale/clockwise/clip/side-filter
+    (ops/warp_dev.py) → compact valid boxes to a K_rec prefix →
+    warp cls crops → cls forward → 180° verdict selects rec homographies →
+    warp rec crops at ONE static width → rec forward → CTC reduce]
+    → download one packed (K_rec+1, 12+2T) float32 buffer (~50 KB)
+
+Running every crop at one static width W is exact, not approximate: a crop
+whose bucketed width would be w < W pads columns ≥ w with zeros in BOTH
+designs, and the models' valid-width masking + valid-T decode restriction
+make the extra padding invisible. Crops that would exceed W (desired_w >
+W) are re-run by the host through the staged per-bucket path against the
+same HBM-resident image — one extra call on the rare page with very wide
+lines. If more than K_rec boxes survive filtering, the image falls back to
+the staged path entirely (correctness first).
+
+Box geometry follows the device DB extraction contract (PCA-oriented
+components — see ops/db_device.py docstring for the documented divergences
+from the host contour path).
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import det_pre, resize_dev, db_device, warp_dev
+from ..ops import warp as warp_ops
+
+
+class OneCallPipeline:
+    def __init__(self, detector, recognizer, fused, args):
+        self.detector = detector
+        self.recognizer = recognizer
+        self.fused = fused
+        self.args = args
+        self.rec_w = int(getattr(args, "tpu_onecall_rec_width", 640))
+        self.k_rec = int(getattr(args, "tpu_onecall_max_boxes", 64))
+        self.k_det = int(getattr(args, "tpu_onecall_det_candidates", 256))
+        self.imgH = recognizer.rec_image_shape[1]
+        self._jit = {}
+
+    # ------------------------------------------------------------- program
+    def _build(self, use_cls: bool):
+        det_fwd = self.detector.forward
+        pp = self.detector.postprocess_op
+        fused = self.fused
+        cls_fn = fused.cls_forward._native_fn if \
+            fused.cls_forward is not None and \
+            fused.cls_forward.backend == "native" else \
+            (fused.cls_forward._graph_fn if fused.cls_forward else None)
+        rec_fn = fused.rec_forward._native_fn if \
+            fused.rec_forward.backend == "native" else \
+            fused.rec_forward._graph_fn
+        imgH = self.imgH
+        rec_w = self.rec_w
+        k_rec = self.k_rec
+        k_det = self.k_det
+
+        def step(image_u8, src_h, src_w, r_h, r_w, out_h: int, out_w: int):
+            # --- det forward from the HBM-resident source
+            x = resize_dev.resize_normalize_det(
+                image_u8, src_h, src_w, r_h, r_w, out_h, out_w)
+            if det_fwd.backend == "native":
+                from ..models import dbnet
+                prob = dbnet.apply(det_fwd.params,
+                                   x[None].astype(det_fwd.dtype),
+                                   backbone_arch=det_fwd.arch)[0]
+            else:
+                xt = jnp.transpose(x[None].astype(jnp.float32),
+                                   (0, 3, 1, 2))
+                prob = det_fwd.executor._interpret(
+                    det_fwd.executor._get_device_weights(),
+                    {det_fwd.executor.input_names[0]: xt})[0][0, 0]
+
+            # --- DB box extraction on device (map coords)
+            quads_m, scores, valid = db_device.device_boxes(
+                prob.astype(jnp.float32), r_h, r_w, max_k=k_det,
+                thresh=pp.thresh, box_thresh=pp.box_thresh,
+                unclip_ratio=pp.unclip_ratio, min_size=float(pp.min_size))
+
+            # --- rescale map → source coords (unpack_boxes contract:
+            # round, clip to [0, src])
+            fw = src_w.astype(jnp.float32)
+            fh = src_h.astype(jnp.float32)
+            qx = jnp.clip(jnp.round(
+                quads_m[..., 0] / r_w.astype(jnp.float32) * fw), 0, fw)
+            qy = jnp.clip(jnp.round(
+                quads_m[..., 1] / r_h.astype(jnp.float32) * fh), 0, fh)
+            quads_s = jnp.stack([qx, qy], axis=-1)
+
+            # --- clockwise + clip + side filter (filter_tag_det_res)
+            quads_s = warp_dev.order_points_clockwise(quads_s)
+            quads_s, keep = warp_dev.clip_filter_boxes(quads_s, src_h,
+                                                       src_w)
+            valid = valid & keep
+            n_valid = jnp.sum(valid.astype(jnp.int32))
+
+            # --- compact valid rows into the K_rec prefix (raster order
+            # preserved: stable argsort on the inverted mask)
+            order = jnp.argsort(jnp.where(valid, 0, 1), stable=True)
+            take = order[:k_rec]
+            quads_c = quads_s[take]
+            scores_c = scores[take]
+            valid_c = valid[take]
+
+            # --- crop matrices on device
+            rec_m, rec_m_rot, rec_vw, desired = warp_dev.crop_matrices(
+                quads_c, valid_c, imgH, rec_w)
+            rec_vw = jnp.where(valid_c, rec_vw, 0)
+            if use_cls:
+                cls_m, _, cls_vw, _ = warp_dev.crop_matrices(
+                    quads_c, valid_c, fused.cls_h, fused.cls_w)
+                cls_vw = jnp.where(valid_c, cls_vw, 0)
+                cls_crops = warp_ops.warp_crops(
+                    image_u8, cls_m, cls_vw, fused.cls_h, fused.cls_w,
+                    fused.interp)
+                cls_probs = cls_fn(cls_crops)
+                rot = (jnp.argmax(cls_probs, axis=1) == fused.idx180) & \
+                    (cls_probs[:, fused.idx180] > fused.cls_thresh)
+                mats = jnp.where(rot[:, None, None], rec_m_rot, rec_m)
+            else:
+                mats = rec_m
+            crops = warp_ops.warp_crops(image_u8, mats, rec_vw, imgH,
+                                        rec_w, fused.interp)
+            if fused.rec_forward.masks_width:
+                idx, prob_max = rec_fn(crops, (rec_vw + 7) // 8)
+            else:
+                idx, prob_max = rec_fn(crops)
+
+            # --- pack everything into one buffer: one download, one RTT
+            T = idx.shape[1]
+            body = jnp.concatenate([
+                quads_c.reshape(k_rec, 8),
+                scores_c[:, None],
+                valid_c[:, None].astype(jnp.float32),
+                rec_vw[:, None].astype(jnp.float32),
+                desired[:, None].astype(jnp.float32),
+                idx.astype(jnp.float32),
+                prob_max.astype(jnp.float32)], axis=-1)
+            tail = jnp.zeros((1, 12 + 2 * T), jnp.float32)
+            tail = tail.at[0, 0].set(n_valid.astype(jnp.float32))
+            return jnp.concatenate([body, tail], axis=0)
+
+        return jax.jit(step, static_argnames=("out_h", "out_w"))
+
+    # ---------------------------------------------------------------- host
+    def __call__(self, img: np.ndarray, cls: bool
+                 ) -> Optional[Tuple[np.ndarray, List[Tuple[str, float]]]]:
+        """Returns (dt_boxes (N,4,2) float32, rec_res) in device (raster)
+        order — the caller applies sorted_boxes pairing and drop_score —
+        or None when the page overflows K_rec (staged-path fallback)."""
+        use_cls = bool(cls and self.fused.cls_forward is not None and
+                       self.fused.idx180 is not None)
+        padded, src_h, src_w = resize_dev.pad_src_bucket(img)
+        image_dev = jax.device_put(padded)
+        rh, rw = det_pre.det_resize_target(
+            src_h, src_w, self.detector.limit_side_len,
+            self.detector.limit_type)
+        hb = det_pre.round_up(rh, self.detector.bucket)
+        wb = det_pre.round_up(rw, self.detector.bucket)
+        fn = self._jit.get(use_cls)
+        if fn is None:
+            fn = self._build(use_cls)
+            self._jit[use_cls] = fn
+        packed = np.asarray(fn(
+            image_dev, jnp.int32(src_h), jnp.int32(src_w), jnp.int32(rh),
+            jnp.int32(rw), out_h=hb, out_w=wb))
+        n_valid = int(packed[-1, 0])
+        if n_valid > self.k_rec:
+            return None  # staged fallback handles the overflow page
+        body = packed[:-1]
+        valid = body[:, 9] > 0.5
+        rows = body[valid]
+        if rows.shape[0] == 0:
+            return np.zeros((0, 4, 2), np.float32), []
+        boxes = rows[:, :8].reshape(-1, 4, 2).astype(np.float32)
+        rec_vw = rows[:, 10].astype(np.int32)
+        desired = rows[:, 11].astype(np.int32)
+        T = (body.shape[1] - 12) // 2
+        idx = rows[:, 12:12 + T].astype(np.int32)
+        prob_max = rows[:, 12 + T:]
+        stride = self.rec_w // T
+        valid_t = [min(T, int(math.ceil(w / stride))) for w in rec_vw]
+        rec_res = self.recognizer.postprocess_op.decode_indices(
+            idx, prob_max, is_remove_duplicate=True, valid_t=valid_t)
+
+        wide = np.nonzero(desired > self.rec_w)[0]
+        if len(wide):
+            # rare wide lines: staged per-bucket pass on the same HBM image
+            redo = self.recognizer.run_boxes_fused(
+                image_dev, boxes[wide], self.fused,
+                (self.fused.cls_h, self.fused.cls_w), use_cls=use_cls)
+            for i, res in zip(wide, redo):
+                rec_res[i] = res
+        return boxes, rec_res

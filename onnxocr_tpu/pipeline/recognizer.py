@@ -69,7 +69,11 @@ class TextRecognizer:
     def _decode_chunk(self, crops: np.ndarray, valid_ws: List[int],
                       n_real: int) -> List[Tuple[str, float]]:
         imgH = self.rec_image_shape[1]
-        idx, prob = self.forward(crops)
+        if self.forward.masks_width:
+            vt = np.asarray([(w + 7) // 8 for w in valid_ws], np.int32)
+            idx, prob = self.forward(crops, vt)
+        else:
+            idx, prob = self.forward(crops)
         idx = np.asarray(idx)[:n_real]
         prob = np.asarray(prob)[:n_real]
         # Restrict decode to valid (un-padded) time steps. The model reduces

@@ -58,6 +58,17 @@ class TextSystem:
                 self._fused = fused_mod.FusedClsRec(
                     None, self.text_recognizer.forward,
                     interp=getattr(args, "tpu_warp_interp", "bicubic"))
+        self._onecall = None
+        if getattr(args, "tpu_pipeline", "staged") == "onecall" and \
+                self._fused is not None and \
+                args.det_box_type == "quad" and \
+                not args.use_dilation and \
+                args.det_db_score_mode == "fast" and \
+                self.text_detector.limit_type == "max" and \
+                self.text_detector.image_shape is None:
+            from .onecall import OneCallPipeline
+            self._onecall = OneCallPipeline(
+                self.text_detector, self.text_recognizer, self._fused, args)
 
     def draw_crop_rec_res(self, output_dir, img_crop_list, rec_res):
         import cv2
@@ -103,6 +114,18 @@ class TextSystem:
         # path (det_pre.prepare_det_input) replicates that, so route tiny
         # images there to keep box-geometry parity.
         tiny = img.shape[0] + img.shape[1] < 64
+        if self._onecall is not None and not tiny:
+            # one-call mode: det→boxes→cls→rec in one program, ONE
+            # download per image (pipeline/onecall.py); falls through to
+            # the staged path when the page overflows the box budget
+            with timer.stage("onecall"):
+                out = self._onecall(img, cls)
+            if out is not None:
+                boxes, rec_res = out
+                order = _sorted_pair_order(boxes)
+                dt_boxes = [boxes[i] for i in order]
+                rec_res = [rec_res[i] for i in order]
+                return dt_boxes, rec_res
         det_post_device = (
             not tiny and
             getattr(self.args, "tpu_det_postprocess", "host") == "device" and
@@ -203,6 +226,22 @@ class TextSystem:
                 filter_boxes.append(box)
                 filter_rec_res.append(rec_result)
         return filter_boxes, filter_rec_res
+
+
+def _sorted_pair_order(boxes) -> List[int]:
+    """Index permutation with sorted_boxes' exact semantics (sort + one
+    10px-tolerance bubble pass) so (box, rec_result) pairs from the
+    one-call pipeline reorder together."""
+    n = len(boxes)
+    order = sorted(range(n), key=lambda i: (boxes[i][0][1], boxes[i][0][0]))
+    for i in range(n - 1):
+        for j in range(i, -1, -1):
+            bj1, bj = boxes[order[j + 1]], boxes[order[j]]
+            if abs(bj1[0][1] - bj[0][1]) < 10 and (bj1[0][0] < bj[0][0]):
+                order[j], order[j + 1] = order[j + 1], order[j]
+            else:
+                break
+    return order
 
 
 def sorted_boxes(dt_boxes) -> List[np.ndarray]:

@@ -23,11 +23,17 @@ from ..parallel import mesh as mesh_lib
 
 
 def ctc_loss_fn(params, images, labels, label_paddings, dtype=jnp.float32,
-                model_mod=svtr):
+                model_mod=svtr, valid_t=None):
     """images: (B, 48, W, 3) in [-1,1]; labels: (B, L) int32 (0 = blank /
-    pad); label_paddings: (B, L) 1.0 where padded."""
-    logits = model_mod.apply(params,
-                             images.astype(dtype)).astype(jnp.float32)
+    pad); label_paddings: (B, L) 1.0 where padded. valid_t (B,) enables
+    the SVTR attention width mask so training matches the inference-time
+    bucket-invariant forward."""
+    if model_mod is svtr:
+        logits = model_mod.apply(params, images.astype(dtype),
+                                 valid_t).astype(jnp.float32)
+    else:
+        logits = model_mod.apply(params,
+                                 images.astype(dtype)).astype(jnp.float32)
     B, T, V = logits.shape
     logit_paddings = jnp.zeros((B, T), jnp.float32)
     per_seq = optax.ctc_loss(logits, logit_paddings, labels, label_paddings,
@@ -38,10 +44,11 @@ def ctc_loss_fn(params, images, labels, label_paddings, dtype=jnp.float32,
 def make_train_step(optimizer: optax.GradientTransformation,
                     dtype=jnp.float32, model_mod=svtr):
     @jax.jit
-    def step(params, opt_state, images, labels, label_paddings):
+    def step(params, opt_state, images, labels, label_paddings,
+             valid_t=None):
         loss, grads = jax.value_and_grad(ctc_loss_fn)(
             params, images, labels, label_paddings, dtype,
-            model_mod=model_mod)
+            model_mod=model_mod, valid_t=valid_t)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

@@ -220,11 +220,12 @@ class TextRenderer:
 
     # ----------------------------------------------------------- rec batches
     def rec_batch(self, batch: int, width: int = 320, max_len: int = 16,
-                  margins: bool = True
-                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+                  margins: bool = True, return_widths: bool = False
+                  ) -> Tuple[np.ndarray, ...]:
         """→ (images (B,48,width,3) float in [-1,1], labels (B,L) int32,
-        label_paddings (B,L) float32)."""
+        label_paddings (B,L) float32[, valid widths (B,) int32])."""
         imgs = np.zeros((batch, 48, width, 3), np.float32)
+        widths = np.zeros(batch, np.int32)
         texts = []
         for i in range(batch):
             t, fkey = self.sample_line(max_len)
@@ -233,6 +234,7 @@ class TextRenderer:
                 line = self.add_margins(line, 48, width)
             w = line.shape[1]
             imgs[i, :, :w] = (line.astype(np.float32) / 255.0 - 0.5) / 0.5
+            widths[i] = w
             texts.append(t)
         L = max(max(len(self.encode(t)) for t in texts), 1)
         labels = np.zeros((batch, L), np.int32)
@@ -241,6 +243,8 @@ class TextRenderer:
             enc = self.encode(t)
             labels[i, :len(enc)] = enc
             pads[i, :len(enc)] = 0.0
+        if return_widths:
+            return imgs, labels, pads, widths
         return imgs, labels, pads
 
     # ----------------------------------------------------------- det pages

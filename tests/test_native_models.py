@@ -92,3 +92,24 @@ def test_param_cast_bf16():
     pb = cm.tree_cast(p, jnp.bfloat16)
     leaf = pb["head"]["w"]
     assert leaf.dtype == jnp.bfloat16
+
+
+def test_svtr_width_mask_invariance():
+    """With the attention width mask, a crop's valid tokens are identical
+    whether it sits in a 320-wide or 640-wide bucket (the invariance the
+    one-call pipeline's single static width relies on)."""
+    import jax
+    import jax.numpy as jnp
+    from onnxocr_tpu.models import svtr
+
+    params = svtr.init(0, vocab_size=32)
+    rng = np.random.default_rng(3)
+    crop = rng.standard_normal((1, 48, 160, 3)).astype(np.float32)
+    small = np.zeros((1, 48, 320, 3), np.float32)
+    big = np.zeros((1, 48, 640, 3), np.float32)
+    small[:, :, :160] = crop
+    big[:, :, :160] = crop
+    vt = np.array([20], np.int32)  # ceil(160/8)
+    out_s = np.asarray(svtr.apply(params, jnp.asarray(small), vt))
+    out_b = np.asarray(svtr.apply(params, jnp.asarray(big), vt))
+    np.testing.assert_allclose(out_s[:, :20], out_b[:, :20], atol=2e-4)

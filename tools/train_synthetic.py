@@ -67,14 +67,21 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
     # only touched from that thread — np.default_rng isn't thread-safe).
     width_cycle = list(widths) or [width]
 
+    # SVTR trains with the attention width mask on (valid_t from the true
+    # rendered widths) so training matches the inference-time
+    # bucket-invariant forward; CRNN has no mask.
+    mask_widths = model_mod is svtr
+
     def gen_batch(r, step):
         w_cur = width_cycle[step % len(width_cycle)]
-        imgs, labels, pads = r.rec_batch(batch, w_cur, max_len)
+        imgs, labels, pads, ws = r.rec_batch(batch, w_cur, max_len,
+                                             return_widths=True)
         if labels.shape[1] < max_len:
             pad_n = max_len - labels.shape[1]
             labels = np.pad(labels, ((0, 0), (0, pad_n)))
             pads = np.pad(pads, ((0, 0), (0, pad_n)), constant_values=1.0)
-        return imgs, labels[:, :max_len], pads[:, :max_len]
+        vt = ((ws + 7) // 8).astype(np.int32) if mask_widths else None
+        return imgs, labels[:, :max_len], pads[:, :max_len], vt
 
     import queue
     import threading
@@ -92,9 +99,9 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
 
     t0 = time.time()
     for step in range(steps):
-        imgs, labels, pads = queues[step % 2].get()
+        imgs, labels, pads, vt = queues[step % 2].get()
         params, opt_state, loss = step_fn(params, opt_state, imgs, labels,
-                                          pads)
+                                          pads, vt)
         if step % 50 == 0 or step == steps - 1:
             print(f"rec step {step} loss {float(loss):.4f} "
                   f"({time.time()-t0:.1f}s)", flush=True)
@@ -105,9 +112,14 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
 
     # quick eval: greedy-decode a fresh batch
     from onnxocr_tpu.ops import ctc as ctc_ops
-    imgs, labels, pads = renderer.rec_batch(8, width, max_len)
-    idx, prob = ctc_ops.ctc_reduce_logits(
-        jax.jit(model_mod.apply)(params, imgs).astype(jnp.float32))
+    imgs, labels, pads, ws = renderer.rec_batch(8, width, max_len,
+                                                return_widths=True)
+    if mask_widths:
+        logits = jax.jit(model_mod.apply)(
+            params, imgs, ((ws + 7) // 8).astype(np.int32))
+    else:
+        logits = jax.jit(model_mod.apply)(params, imgs)
+    idx, prob = ctc_ops.ctc_reduce_logits(logits.astype(jnp.float32))
     res = dec.decode_indices(np.asarray(idx), np.asarray(prob),
                              is_remove_duplicate=True)
     for i, (text, score) in enumerate(res):
