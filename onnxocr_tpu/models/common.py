@@ -140,10 +140,28 @@ def conv_transpose2x(x, p: Params):
     return out
 
 
-def se_module(x, p: Params, alpha: float = 0.2):
-    """Squeeze-and-excitation: GAP → 1x1 reduce + relu → 1x1 expand +
-    hardsigmoid → scale."""
-    s = jnp.mean(x, axis=(1, 2), keepdims=True)
+def se_module(x, p: Params, alpha: float = 0.2, valid_hw=None):
+    """Squeeze-and-excitation: GAP → 1x1 reduce + relu + 1x1 expand +
+    hardsigmoid → scale.
+
+    valid_hw = (vh (N,), vw (N,)) int32 restricts the global pool to each
+    sample's valid region. Det canvases are padded to compile buckets
+    (pipeline/detector.py); an unmasked GAP lets that padding shift the
+    channel gates of EVERY pixel, so the same page scores differently in
+    different buckets/batches. With the mask, the pool — the one place
+    padding contaminates the whole map — sees only real pixels. Equals the
+    plain mean when nothing is padded."""
+    if valid_hw is not None:
+        vh, vw = valid_hw
+        n, h, w, _ = x.shape
+        rmask = jnp.arange(h, dtype=jnp.int32)[None, :] < vh[:, None]
+        cmask = jnp.arange(w, dtype=jnp.int32)[None, :] < vw[:, None]
+        m = (rmask[:, :, None] & cmask[:, None, :]).astype(x.dtype)
+        area = jnp.maximum(vh * vw, 1).astype(x.dtype)
+        s = jnp.sum(x * m[..., None], axis=(1, 2), keepdims=True) \
+            / area[:, None, None, None]
+    else:
+        s = jnp.mean(x, axis=(1, 2), keepdims=True)
     s = conv2d(s, p["reduce"])
     s = jnp.maximum(s, 0)
     s = conv2d(s, p["expand"])

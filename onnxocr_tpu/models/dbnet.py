@@ -71,14 +71,19 @@ def _upsample_to(x, target):
 
 
 def apply(params, x, scale: float = 0.5,
-          backbone_arch: str = "mbv3") -> jnp.ndarray:
-    """x: (N, H, W, 3) ImageNet-normalized. Returns (N, H, W) prob map."""
+          backbone_arch: str = "mbv3", valid_hw=None) -> jnp.ndarray:
+    """x: (N, H, W, 3) ImageNet-normalized. Returns (N, H, W) prob map.
+
+    valid_hw = (vh (N,), vw (N,)) int32 valid extents masks the backbone's
+    SE global pools to each page's un-padded region (mobilenetv3.apply) so
+    the prob map over the valid region is bucket-invariant. ResNet has no
+    global pooling; the argument is a no-op there."""
     if backbone_arch == "resnet18":
         from . import resnet
         feats = resnet.apply(params["backbone"], x, 18)
     else:
         feats = mbv3.apply(params["backbone"], x, "large", scale,
-                           feature_taps=_TAPS)
+                           feature_taps=_TAPS, valid_hw=valid_hw)
     # feats: [1/4, 1/8, 1/16, 1/32] (last is post-`last` conv)
     laterals = [cm.conv2d(f, w) for f, w in zip(feats, params["lateral"])]
     # top-down pathway

@@ -89,14 +89,21 @@ def init(rng, cfg_name: str = "small", scale: float = 0.35,
 
 
 def apply(params, x, cfg_name: str = "small", scale: float = 0.35,
-          feature_taps: Optional[Sequence[int]] = None):
+          feature_taps: Optional[Sequence[int]] = None, valid_hw=None):
     """Forward. x: (N, H, W, C) normalized float.
+
+    valid_hw = (vh (N,), vw (N,)) int32 valid extents at INPUT resolution;
+    when given, every SE global pool is restricted to the valid region
+    (cm.se_module) so bucket padding cannot shift channel gates. The valid
+    extent at a stride-s stage is ceil(v/s) (SAME convs; ceil-div composes
+    across stages so one cumulative stride per SE site is exact).
 
     Returns the final feature map, or — when feature_taps is given — the list
     of block outputs at those indices plus the post-`last` feature (for FPN).
     """
     cfg = scaled_cfg(SMALL_CFG if cfg_name == "small" else LARGE_CFG, scale)
     x = cm.conv_bn_act(x, params["stem"], stride=(2, 2), act="hswish")
+    sh, sw = 2, 2  # cumulative stride after the stem
     feats: List[jnp.ndarray] = []
     for i, ((k, exp, cout, se, act, s), blk) in enumerate(
             zip(cfg, params["blocks"])):
@@ -106,8 +113,13 @@ def apply(params, x, cfg_name: str = "small", scale: float = 0.35,
         y = cm.conv_bn_act(x, blk["expand"], act=act)
         y = cm.conv_bn_act(y, blk["dw"], stride=s, groups=y.shape[-1],
                            act=act)
+        sh, sw = sh * s[0], sw * s[1]
         if se:
-            y = cm.se_module(y, blk["se"])
+            vhw = None
+            if valid_hw is not None:
+                vh, vw = valid_hw
+                vhw = ((vh + sh - 1) // sh, (vw + sw - 1) // sw)
+            y = cm.se_module(y, blk["se"], valid_hw=vhw)
         y = cm.conv_bn_act(y, blk["project"], act="none")
         if s == (1, 1) and inp.shape[-1] == y.shape[-1]:
             y = y + inp

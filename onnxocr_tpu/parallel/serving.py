@@ -36,25 +36,36 @@ class ShardedDetBatch:
         self.params = jax.device_put(params, mesh_lib.replicated(mesh))
         self.arch = arch
 
-        def fn(params, batch_u8):
+        def fn(params, batch_u8, rhw):
             x = det_pre.normalize_det(batch_u8)
-            return dbnet.apply(params, x, backbone_arch=arch)
+            return dbnet.apply(params, x, backbone_arch=arch,
+                               valid_hw=(rhw[:, 0], rhw[:, 1]))
 
         self._fn = jax.jit(
             fn,
             in_shardings=(mesh_lib.replicated(mesh),
-                          NamedSharding(mesh, P("data", None, None, None))),
+                          NamedSharding(mesh, P("data", None, None, None)),
+                          NamedSharding(mesh, P("data", None))),
             out_shardings=NamedSharding(mesh, P("data", None, None)))
 
-    def __call__(self, batch_u8: np.ndarray) -> jax.Array:
+    def __call__(self, batch_u8: np.ndarray,
+                 rhw: Optional[np.ndarray] = None) -> jax.Array:
+        """rhw (B, 2) int32 valid (rh, rw) extents per page masks the
+        backbone's SE pools to the un-padded region; defaults to the full
+        canvas (nothing padded)."""
         b = batch_u8.shape[0]
+        if rhw is None:
+            rhw = np.tile(np.int32(batch_u8.shape[1:3]), (b, 1))
         n_data = self.mesh.shape["data"]
         pad = (-b) % n_data
         if pad:
             batch_u8 = np.concatenate(
                 [batch_u8, np.zeros((pad,) + batch_u8.shape[1:],
                                     batch_u8.dtype)], axis=0)
-        out = self._fn(self.params, batch_u8)
+            rhw = np.concatenate(
+                [rhw, np.tile(np.int32(batch_u8.shape[1:3]), (pad, 1))],
+                axis=0)
+        out = self._fn(self.params, batch_u8, np.asarray(rhw, np.int32))
         return out[:b]
 
 

@@ -92,56 +92,71 @@ class DetForward:
             return arr.astype(np.float32) / 255.0
         return arr.astype(np.float32)
 
-    def _native_fn(self, x_u8):
+    # valid_hw plumbing: every det canvas is padded to a compile bucket;
+    # the native mbv3 backbone masks its SE global pools to the (rh, rw)
+    # valid region (models/dbnet.apply) so the prob map over the valid
+    # region is canvas-invariant. The graph backend interprets a fixed
+    # ONNX graph and keeps the reference's unmasked GlobalAveragePool.
+    def _native_fn(self, x_u8, vhw):
         x = det_pre.normalize_det(x_u8)[None].astype(self.dtype)
-        prob = dbnet.apply(self.params, x, backbone_arch=self.arch)[0]
+        prob = dbnet.apply(self.params, x, backbone_arch=self.arch,
+                           valid_hw=(vhw[0:1], vhw[1:2]))[0]
         return self._encode(prob.astype(jnp.float32))
 
-    def _graph_fn(self, x_u8):
+    def _graph_fn(self, x_u8, vhw):
         x = det_pre.normalize_det(x_u8)[None].astype(jnp.float32)
         x = jnp.transpose(x, (0, 3, 1, 2))  # NCHW for the ONNX graph
         out = self.executor._interpret(self.executor._get_device_weights(),
                                        {self.executor.input_names[0]: x})[0]
         return self._encode(out[0, 0])  # (1,1,H,W) → (H,W)
 
-    def __call__(self, padded_u8: np.ndarray) -> jax.Array:
+    def __call__(self, padded_u8: np.ndarray,
+                 valid_hw=None) -> jax.Array:
         if self._jit is None:
             fn = self._native_fn if self.backend == "native" else self._graph_fn
             self._jit = jax.jit(fn)
-        return self._jit(padded_u8)
+        if valid_hw is None:
+            valid_hw = padded_u8.shape[:2]
+        return self._jit(padded_u8, np.asarray(valid_hw, np.int32))
 
     # --- pre-normalized float input (device det-resize path) -------------
-    def _native_fn_f32(self, x_f32):
+    def _native_fn_f32(self, x_f32, vhw):
         x = x_f32[None].astype(self.dtype)
-        prob = dbnet.apply(self.params, x, backbone_arch=self.arch)[0]
+        prob = dbnet.apply(self.params, x, backbone_arch=self.arch,
+                           valid_hw=(vhw[0:1], vhw[1:2]))[0]
         return self._encode(prob.astype(jnp.float32))
 
-    def _graph_fn_f32(self, x_f32):
+    def _graph_fn_f32(self, x_f32, vhw):
         x = jnp.transpose(x_f32[None].astype(jnp.float32), (0, 3, 1, 2))
         out = self.executor._interpret(self.executor._get_device_weights(),
                                        {self.executor.input_names[0]: x})[0]
         return self._encode(out[0, 0])
 
-    def call_normalized(self, x_f32) -> jax.Array:
+    def call_normalized(self, x_f32, valid_hw=None) -> jax.Array:
         if getattr(self, "_jit_f32", None) is None:
             fn = self._native_fn_f32 if self.backend == "native" \
                 else self._graph_fn_f32
             self._jit_f32 = jax.jit(fn)
-        return self._jit_f32(x_f32)
+        if valid_hw is None:
+            valid_hw = x_f32.shape[:2]
+        return self._jit_f32(x_f32, jnp.asarray(valid_hw, jnp.int32))
 
     # --- engine-level page batching, fixed det bucket: N host-resized pages
     # → N prob maps in ONE device call. All pages share one canvas shape, so
     # the only compile axis is the batch-size ladder.
-    def call_pages_u8(self, pages_u8: np.ndarray) -> jax.Array:
-        """pages_u8 (B, Hb, Wb, 3) uint8 zero-padded det inputs →
-        (B, Hb, Wb) encoded prob maps."""
+    def call_pages_u8(self, batch) -> jax.Array:
+        """{"pages": (B, Hb, Wb, 3) uint8 zero-padded det inputs,
+        "rhw": (B, 2) int32 valid extents} → (B, Hb, Wb) encoded prob
+        maps (SE pools masked to each page's valid region)."""
         if getattr(self, "_jit_pages_u8", None) is None:
 
-            def fn(pages):
+            def fn(batch):
+                pages, rhw = batch["pages"], batch["rhw"]
                 x = det_pre.normalize_det(pages).astype(self.dtype)
                 if self.backend == "native":
                     prob = dbnet.apply(self.params, x,
-                                       backbone_arch=self.arch)
+                                       backbone_arch=self.arch,
+                                       valid_hw=(rhw[:, 0], rhw[:, 1]))
                 else:
                     xt = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
                     out = self.executor._interpret(
@@ -151,7 +166,7 @@ class DetForward:
                 return self._encode(prob.astype(jnp.float32))
 
             self._jit_pages_u8 = jax.jit(fn)
-        return self._jit_pages_u8(pages_u8)
+        return self._jit_pages_u8(batch)
 
     def make_pages_boxes_fn(self, pp, max_k: int):
         """Batched det + ON-DEVICE box extraction: (B, Hb, Wb, 3) uint8 det
@@ -173,7 +188,8 @@ class DetForward:
             pages, rhw = batch["pages"], batch["rhw"]
             x = det_pre.normalize_det(pages).astype(self.dtype)
             if self.backend == "native":
-                prob = dbnet.apply(self.params, x, backbone_arch=self.arch)
+                prob = dbnet.apply(self.params, x, backbone_arch=self.arch,
+                                   valid_hw=(rhw[:, 0], rhw[:, 1]))
             else:
                 xt = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
                 out = self.executor._interpret(
@@ -203,7 +219,8 @@ class DetForward:
                     out_h, out_w).astype(self.dtype)
                 if self.backend == "native":
                     prob = dbnet.apply(self.params, x,
-                                       backbone_arch=self.arch)
+                                       backbone_arch=self.arch,
+                                       valid_hw=(rhw[:, 0], rhw[:, 1]))
                 else:
                     xt = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
                     out = self.executor._interpret(

@@ -120,7 +120,7 @@ class TextDetector:
         padded, shape_info, (rh, rw) = det_pre.prepare_det_input(
             img, self.limit_side_len, self.limit_type, self.bucket,
             image_shape=self.image_shape, keep_ratio=self.keep_ratio)
-        prob_padded = self.forward(padded)
+        prob_padded = self.forward(padded, valid_hw=(rh, rw))
         # slice to the valid region ON DEVICE so only rh*rw bytes cross the
         # tunnel, not the padded bucket
         prob = backends.DetForward.decode_map(
@@ -154,9 +154,11 @@ class TextDetector:
                     image_u8, s_h, s_w, r_h, r_w, out_h, out_w)
                 if fwd.backend == "native":
                     from ..models import dbnet
-                    prob = dbnet.apply(fwd.params,
-                                       x[None].astype(fwd.dtype),
-                                       backbone_arch=fwd.arch)[0]
+                    prob = dbnet.apply(
+                        fwd.params, x[None].astype(fwd.dtype),
+                        backbone_arch=fwd.arch,
+                        valid_hw=(jnp.reshape(r_h, (1,)),
+                                  jnp.reshape(r_w, (1,))))[0]
                 else:
                     xt = jnp.transpose(x[None].astype(jnp.float32),
                                        (0, 3, 1, 2))
@@ -196,7 +198,7 @@ class TextDetector:
         x = resize_dev.resize_normalize_det(
             image_dev, jnp.int32(src_h), jnp.int32(src_w), jnp.int32(rh),
             jnp.int32(rw), hb, wb)
-        prob_padded = self.forward.call_normalized(x)
+        prob_padded = self.forward.call_normalized(x, valid_hw=(rh, rw))
         prob = backends.DetForward.decode_map(
             np.asarray(prob_padded[:rh, :rw]))
         shape_info = np.array([src_h, src_w, rh / float(src_h),

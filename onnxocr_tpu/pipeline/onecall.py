@@ -74,9 +74,11 @@ class OneCallPipeline:
                 image_u8, src_h, src_w, r_h, r_w, out_h, out_w)
             if det_fwd.backend == "native":
                 from ..models import dbnet
-                prob = dbnet.apply(det_fwd.params,
-                                   x[None].astype(det_fwd.dtype),
-                                   backbone_arch=det_fwd.arch)[0]
+                prob = dbnet.apply(
+                    det_fwd.params, x[None].astype(det_fwd.dtype),
+                    backbone_arch=det_fwd.arch,
+                    valid_hw=(jnp.reshape(r_h, (1,)),
+                              jnp.reshape(r_w, (1,))))[0]
             else:
                 xt = jnp.transpose(x[None].astype(jnp.float32),
                                    (0, 3, 1, 2))

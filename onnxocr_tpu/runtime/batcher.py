@@ -187,7 +187,7 @@ class DetPageBatcher:
         fwd = self.forward
         params_sharded = None
 
-        def fn(pages_u8):
+        def fn(batch):
             nonlocal params_sharded
             if params_sharded is None and fwd.backend == "native":
                 params_sharded = jax.device_put(fwd.params,
@@ -197,18 +197,20 @@ class DetPageBatcher:
                 from ..models import dbnet
                 import jax.numpy as jnp
 
-                def impl(params, pages):
+                def impl(params, pages, rhw):
                     x = det_pre.normalize_det(pages).astype(fwd.dtype)
-                    prob = dbnet.apply(params, x, backbone_arch=fwd.arch)
+                    prob = dbnet.apply(params, x, backbone_arch=fwd.arch,
+                                       valid_hw=(rhw[:, 0], rhw[:, 1]))
                     return fwd._encode(prob.astype(jnp.float32))
 
                 fn._jit = jax.jit(
                     impl,
                     in_shardings=(mesh_lib.replicated(mesh),
                                   NamedSharding(mesh,
-                                                P("data", None, None, None))),
+                                                P("data", None, None, None)),
+                                  NamedSharding(mesh, P("data", None))),
                     out_shardings=NamedSharding(mesh, P("data", None, None)))
-            return fn._jit(params_sharded, pages_u8)
+            return fn._jit(params_sharded, batch["pages"], batch["rhw"])
 
         return fn
 
@@ -229,7 +231,8 @@ class DetPageBatcher:
     def submit(self, img: np.ndarray):
         """BGR page → (prob_map (rh, rw) float32, shape_info)."""
         padded, shape_info, (rh, rw) = self._prepare(img)
-        out = self.batcher.submit(padded[None])
+        out = self.batcher.submit({"pages": padded[None],
+                                   "rhw": np.array([[rh, rw]], np.int32)})
         out0 = out[0]
         if not isinstance(out0, np.ndarray):
             out0 = np.asarray(out0[:rh, :rw])  # device-side slice
