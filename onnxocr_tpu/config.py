@@ -196,6 +196,11 @@ DEFAULTS = {
     "tpu_onecall_rec_width": 640,
     "tpu_onecall_max_boxes": 64,
     "tpu_onecall_det_candidates": 256,
+    # One det canvas (round_up(limit_side_len, det bucket)²) for every
+    # page in one-call mode: masked SE pools + valid-region DB extraction
+    # make padding invisible, and collapsing the canvas compile axis cuts
+    # warmup from (src × canvas) fused-program compiles to src-only.
+    "tpu_onecall_fixed_canvas": True,
     # Cross-request det page batching: concurrent images' DBNet forwards
     # coalesce into one device call (runtime/batcher.DetPageBatcher). Adds
     # up to tpu_microbatch_wait_ms latency per call, so it defaults off for

@@ -140,6 +140,23 @@ def conv_transpose2x(x, p: Params):
     return out
 
 
+def mask_valid(x, vh, vw):
+    """Zero x (N, H, W, C) beyond each sample's (vh, vw) valid region.
+
+    BN shifts the zero padding of a bucketed canvas to a nonzero constant,
+    so each conv leaks a halo of it back into the valid region; re-zeroing
+    after every spatial stage makes each conv see exactly the SAME-zero-pad
+    neighborhood an exact-size canvas would — the padded-canvas forward
+    then reproduces the exact-canvas computation bit-for-bit (valid extents
+    divide evenly at every stride because det sizes are /32 multiples).
+    XLA fuses the where into the producing op's epilogue."""
+    n, h, w = x.shape[:3]
+    rmask = jnp.arange(h, dtype=jnp.int32)[None, :] < vh[:, None]
+    cmask = jnp.arange(w, dtype=jnp.int32)[None, :] < vw[:, None]
+    m = (rmask[:, :, None] & cmask[:, None, :])[..., None]
+    return jnp.where(m, x, jnp.zeros((), x.dtype))
+
+
 def se_module(x, p: Params, alpha: float = 0.2, valid_hw=None):
     """Squeeze-and-excitation: GAP → 1x1 reduce + relu + 1x1 expand +
     hardsigmoid → scale.

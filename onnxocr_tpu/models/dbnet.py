@@ -74,10 +74,15 @@ def apply(params, x, scale: float = 0.5,
           backbone_arch: str = "mbv3", valid_hw=None) -> jnp.ndarray:
     """x: (N, H, W, 3) ImageNet-normalized. Returns (N, H, W) prob map.
 
-    valid_hw = (vh (N,), vw (N,)) int32 valid extents masks the backbone's
-    SE global pools to each page's un-padded region (mobilenetv3.apply) so
-    the prob map over the valid region is bucket-invariant. ResNet has no
-    global pooling; the argument is a no-op there."""
+    valid_hw = (vh (N,), vw (N,)) int32 valid extents makes the prob map
+    over each page's valid region canvas-invariant: the input and every
+    backbone/FPN stage are re-zeroed beyond the valid region and SE global
+    pools are masked (cm.mask_valid / mobilenetv3.apply), so a padded
+    bucket computes what an exact-size canvas would, up to XLA's
+    per-shape reduction-order float noise (~1e-4 on the sigmoid map).
+    ResNet path: not yet masked (no SE, halo-only divergence)."""
+    if valid_hw is not None and backbone_arch != "resnet18":
+        x = cm.mask_valid(x, valid_hw[0], valid_hw[1])
     if backbone_arch == "resnet18":
         from . import resnet
         feats = resnet.apply(params["backbone"], x, 18)
@@ -94,6 +99,11 @@ def apply(params, x, scale: float = 0.5,
     # bring all to 1/4 scale and concat
     base = outs[0]
     fused = jnp.concatenate([_upsample_to(o, base) for o in outs], axis=-1)
+    if valid_hw is not None and backbone_arch != "resnet18":
+        # smooth convs leak a 1px halo past the valid region; re-zero so
+        # the head's 3x3 conv sees the exact-canvas neighborhood
+        fused = cm.mask_valid(fused, (valid_hw[0] + 3) // 4,
+                              (valid_hw[1] + 3) // 4)
 
     h = params["head"]
     y = cm.conv_bn_act(fused, h["conv"], act="relu")

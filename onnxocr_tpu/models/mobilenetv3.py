@@ -102,8 +102,24 @@ def apply(params, x, cfg_name: str = "small", scale: float = 0.35,
     of block outputs at those indices plus the post-`last` feature (for FPN).
     """
     cfg = scaled_cfg(SMALL_CFG if cfg_name == "small" else LARGE_CFG, scale)
+
+    def strided(sh, sw):
+        if valid_hw is None:
+            return None
+        vh, vw = valid_hw
+        return (vh + sh - 1) // sh, (vw + sw - 1) // sw
+
+    def mask(x, sh, sw):
+        # re-zero padding after every block so each spatial conv sees the
+        # exact-canvas SAME-zero-pad neighborhood (cm.mask_valid docstring)
+        if valid_hw is None:
+            return x
+        vh, vw = strided(sh, sw)
+        return cm.mask_valid(x, vh, vw)
+
     x = cm.conv_bn_act(x, params["stem"], stride=(2, 2), act="hswish")
     sh, sw = 2, 2  # cumulative stride after the stem
+    x = mask(x, sh, sw)
     feats: List[jnp.ndarray] = []
     for i, ((k, exp, cout, se, act, s), blk) in enumerate(
             zip(cfg, params["blocks"])):
@@ -115,16 +131,13 @@ def apply(params, x, cfg_name: str = "small", scale: float = 0.35,
                            act=act)
         sh, sw = sh * s[0], sw * s[1]
         if se:
-            vhw = None
-            if valid_hw is not None:
-                vh, vw = valid_hw
-                vhw = ((vh + sh - 1) // sh, (vw + sw - 1) // sw)
-            y = cm.se_module(y, blk["se"], valid_hw=vhw)
+            y = cm.se_module(y, blk["se"], valid_hw=strided(sh, sw))
         y = cm.conv_bn_act(y, blk["project"], act="none")
         if s == (1, 1) and inp.shape[-1] == y.shape[-1]:
             y = y + inp
-        x = y
+        x = mask(y, sh, sw)
     x = cm.conv_bn_act(x, params["last"], act="hswish")
+    x = mask(x, sh, sw)
     if feature_taps is not None:
         feats.append(x)
         return feats

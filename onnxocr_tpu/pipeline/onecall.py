@@ -49,6 +49,15 @@ class OneCallPipeline:
         self.k_rec = int(getattr(args, "tpu_onecall_max_boxes", 64))
         self.k_det = int(getattr(args, "tpu_onecall_det_candidates", 256))
         self.imgH = recognizer.rec_image_shape[1]
+        # Fixed det canvas: every page runs the det stage on ONE
+        # round_up(limit_side_len, bucket)² canvas instead of a per-page
+        # bucket. Masked SE pools (models/dbnet.apply valid_hw) + the
+        # valid-region DB extraction make the result independent of the
+        # padding, so this only trades a little det compute for a
+        # src-bucket-only compile axis — each distinct fused program costs
+        # minutes of XLA compile, and (src × canvas) combos multiply.
+        self.fixed_canvas = bool(getattr(args, "tpu_onecall_fixed_canvas",
+                                         True))
         self._jit = {}
 
     # ------------------------------------------------------------- program
@@ -170,8 +179,14 @@ class OneCallPipeline:
         rh, rw = det_pre.det_resize_target(
             src_h, src_w, self.detector.limit_side_len,
             self.detector.limit_type)
-        hb = det_pre.round_up(rh, self.detector.bucket)
-        wb = det_pre.round_up(rw, self.detector.bucket)
+        if self.fixed_canvas:
+            cap = det_pre.round_up(int(self.detector.limit_side_len),
+                                   self.detector.bucket)
+            hb = wb = max(cap, det_pre.round_up(max(rh, rw),
+                                                self.detector.bucket))
+        else:
+            hb = det_pre.round_up(rh, self.detector.bucket)
+            wb = det_pre.round_up(rw, self.detector.bucket)
         fn = self._jit.get(use_cls)
         if fn is None:
             fn = self._build(use_cls)

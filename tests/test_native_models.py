@@ -94,6 +94,33 @@ def test_param_cast_bf16():
     assert leaf.dtype == jnp.bfloat16
 
 
+def test_dbnet_canvas_invariance():
+    """With valid_hw masking, a padded det canvas computes the same prob
+    map over the valid region as the exact-size canvas (the contract the
+    fixed-canvas one-call mode and cross-canvas page batching rely on)."""
+    import jax.numpy as jnp
+    from onnxocr_tpu.models import dbnet
+
+    p = dbnet.init(0)
+    rng = np.random.default_rng(7)
+    img = rng.standard_normal((1, 160, 320, 3)).astype(np.float32)
+    exact = np.asarray(dbnet.apply(
+        p, jnp.asarray(img),
+        valid_hw=(jnp.asarray([160]), jnp.asarray([320]))))
+    big = np.zeros((1, 320, 640, 3), np.float32)
+    big[:, :160, :320] = img
+    # nonzero garbage in the padding must not leak into the valid region
+    big[:, 160:, :] = 3.0
+    big[:, :, 320:] = -2.0
+    padded = np.asarray(dbnet.apply(
+        p, jnp.asarray(big),
+        valid_hw=(jnp.asarray([160]), jnp.asarray([320]))))
+    # XLA tiles/reassociates conv reductions differently per canvas shape,
+    # so agreement is to float-accumulation noise, not bit-exact
+    np.testing.assert_allclose(padded[:, :160, :320], exact, atol=1e-3)
+    assert np.abs(padded[:, :160, :320] - exact).mean() < 1e-5
+
+
 def test_svtr_width_mask_invariance():
     """With the attention width mask, a crop's valid tokens are identical
     whether it sits in a 320-wide or 640-wide bucket (the invariance the

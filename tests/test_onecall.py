@@ -60,6 +60,33 @@ def test_onecall_empty_page(onecall_model):
     assert res[0] == []
 
 
+def test_onecall_fixed_canvas_rect_page(staged_model, onecall_model):
+    """A rectangular page runs det on the fixed 640² canvas in one-call
+    mode but on a 320x640 canvas in the staged device path — activation
+    masking (models/dbnet.apply valid_hw) must make the results agree."""
+    from onnxocr_tpu import config as cfg_mod
+    from onnxocr_tpu.train import synth
+
+    c2i = synth.charset_from_dict(
+        cfg_mod.find_asset("ppocrv5/ppocrv5_dict.txt"))
+    r = synth.TextRenderer(char_to_idx=c2i, seed=207)
+    page = np.full((320, 640, 3), 235, np.uint8)
+    for y in (40, 130, 220):
+        line = r.render_line(r.random_text(8), 34, 560)
+        lh, lw = line.shape[:2]
+        page[y:y + lh, 30:30 + lw] = line
+    assert onecall_model._onecall is not None
+    assert onecall_model._onecall.fixed_canvas
+    ref = staged_model.ocr(page)[0]
+    got = onecall_model.ocr(page)[0]
+    assert len(ref) >= 2
+    assert [l[1][0] for l in got] == [l[1][0] for l in ref]
+    for g, r_ in zip(got, ref):
+        gb = np.asarray(g[0], np.float64)
+        rb = np.asarray(r_[0], np.float64)
+        assert np.abs(gb - rb).max() <= 2.0
+
+
 def test_onecall_cls_off(pages):
     from onnxocr_tpu import ONNXPaddleOcr
     m = ONNXPaddleOcr(use_angle_cls=False, drop_score=0.0,
