@@ -53,3 +53,29 @@ def group_by_bucket(desired_ws: Sequence[int], ladder: Sequence[int]
 def chunks_of(indices: List[int], max_batch: int):
     for i in range(0, len(indices), max_batch):
         yield indices[i:i + max_batch]
+
+
+# Collapse threshold for width-masking forwards: crops at or below this
+# desired width share ONE bucket (the page max) — each extra bucket is an
+# extra device round trip (~25-30 ms on the tunneled link), which costs far
+# more than the padding FLOPs. Wider crops keep per-bucket routing so one
+# extreme line can't balloon the whole page's compute.
+COLLAPSE_CAP = 960
+
+
+def group_collapsed(desired_ws: Sequence[int], ladder: Sequence[int]
+                    ) -> Dict[int, List[int]]:
+    """Single-bucket routing for forwards whose valid-region outputs are
+    bucket-invariant (RecForward.masks_width): all crops ≤ COLLAPSE_CAP run
+    in one bucket sized for the widest of them; the rare wider crops fall
+    back to group_by_bucket routing."""
+    lo = [i for i, w in enumerate(desired_ws) if w <= COLLAPSE_CAP]
+    hi = [i for i, w in enumerate(desired_ws) if w > COLLAPSE_CAP]
+    groups: Dict[int, List[int]] = {}
+    if lo:
+        b = pick_width_bucket(max(desired_ws[i] for i in lo), ladder)
+        groups[b] = lo
+    for i in hi:
+        b = pick_width_bucket(desired_ws[i], ladder)
+        groups.setdefault(b, []).append(i)
+    return groups

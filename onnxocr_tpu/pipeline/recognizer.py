@@ -66,6 +66,14 @@ class TextRecognizer:
             max_wait_ms=max_wait_ms, batch_ladder=self.batch_ladder)
 
     # ---------------------------------------------------------------- shared
+    def _group(self, desired_ws: List[int]):
+        """Width-bucket routing. The masked SVTR forward makes valid-region
+        outputs bucket-invariant, so all (non-extreme) crops of a page share
+        one bucket — one device round trip instead of one per bucket."""
+        if self.forward.masks_width:
+            return batching.group_collapsed(desired_ws, self.width_ladder)
+        return batching.group_by_bucket(desired_ws, self.width_ladder)
+
     def _decode_chunk(self, crops: np.ndarray, valid_ws: List[int],
                       n_real: int) -> List[Tuple[str, float]]:
         imgH = self.rec_image_shape[1]
@@ -92,7 +100,7 @@ class TextRecognizer:
         order."""
         n = len(desired_ws)
         results: List[Tuple[str, float]] = [("", 0.0)] * n
-        groups = batching.group_by_bucket(desired_ws, self.width_ladder)
+        groups = self._group(desired_ws)
         max_batch = self.batch_ladder[-1]
         for bucket_w, indices in groups.items():
             for chunk in batching.chunks_of(indices, max_batch):
@@ -208,7 +216,7 @@ class TextRecognizer:
         cls_h, cls_w = cls_shape
         desired = self._desired_widths(boxes)
         results: List[Tuple[str, float]] = [("", 0.0)] * n
-        groups = batching.group_by_bucket(desired, self.width_ladder)
+        groups = self._group(desired)
         max_batch = self.batch_ladder[-1]
         eye = np.eye(3, dtype=np.float32)
         for bucket_w, indices in groups.items():
@@ -226,12 +234,20 @@ class TextRecognizer:
                         boxes[i], imgH, bucket_w, rotate180=True)
                     cls_mats[row], cls_valid[row] = \
                         warp_ops.build_crop_matrix(boxes[i], cls_h, cls_w)
+                run_w = bucket_w
                 if self._crop_batcher is not None:
                     # cross-request path: the batcher coalesces chunks from
-                    # concurrent pages and pads across requests
-                    idx, prob = self._crop_batcher.submit(
+                    # concurrent pages and pads across requests. With the
+                    # masked forward the warp matrices / valid widths are
+                    # frozen at submit time, so a chunk can run in any wider
+                    # bucket unchanged — let non-extreme chunks coalesce
+                    # across width buckets (the group runs at its max).
+                    promote = bool(self.forward.masks_width and
+                                   bucket_w <= batching.COLLAPSE_CAP)
+                    idx, prob, run_w = self._crop_batcher.submit(
                         fused, image_u8_dev, cls_mats, cls_valid, rec_mats,
-                        rot_mats, rec_valid, imgH, bucket_w, use_cls)
+                        rot_mats, rec_valid, imgH, bucket_w, use_cls,
+                        promote=promote)
                 else:
                     bsz = batching.pick_batch_bucket(k, self.batch_ladder)
                     if bsz > k:
@@ -247,7 +263,7 @@ class TextRecognizer:
                         rot_mats, rec_valid, imgH, bucket_w, use_cls=use_cls)
                 idx = np.asarray(idx)[:k]
                 prob = np.asarray(prob)[:k]
-                stride = bucket_w // idx.shape[1]
+                stride = run_w // idx.shape[1]
                 valid_t = [min(idx.shape[1], math.ceil(w / stride))
                            for w in rec_valid[:k]]
                 out = self.postprocess_op.decode_indices(

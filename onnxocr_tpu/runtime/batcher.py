@@ -284,9 +284,14 @@ class RecCropBatcher:
 
     def submit(self, fused, image_dev, cls_mats, cls_valid, rec_mats,
                rot_mats, rec_valid, out_h: int, bucket_w: int,
-               use_cls: bool):
+               use_cls: bool, promote: bool = False):
         """One page's crop chunk → (idx, prob) numpy arrays (k rows, where
-        k = len(cls_mats)). Blocks until the coalesced device call returns."""
+        k = len(cls_mats)). Blocks until the coalesced device call returns.
+
+        promote=True marks the chunk safe to run in ANY bucket ≥ bucket_w
+        (width-masking rec forward + no compressed crops): promoted chunks
+        coalesce across pages with different width buckets — the group runs
+        at the max — instead of fragmenting per bucket."""
         work = _Work({
             "fused": fused, "image": image_dev,
             "cls_mats": np.asarray(cls_mats, np.float32),
@@ -294,7 +299,8 @@ class RecCropBatcher:
             "rec_mats": np.asarray(rec_mats, np.float32),
             "rot_mats": np.asarray(rot_mats, np.float32),
             "rec_valid": np.asarray(rec_valid, np.int32),
-            "out_h": out_h, "bucket_w": bucket_w, "use_cls": use_cls})
+            "out_h": out_h, "bucket_w": bucket_w, "use_cls": use_cls,
+            "promote": promote})
         self._q.put(work)
         work.event.wait()
         if work.error is not None:
@@ -322,7 +328,8 @@ class RecCropBatcher:
 
     @staticmethod
     def _group_key(item):
-        return (tuple(item["image"].shape), item["bucket_w"],
+        return (tuple(item["image"].shape),
+                "*" if item.get("promote") else item["bucket_w"],
                 item["out_h"], item["use_cls"], id(item["fused"]))
 
     def _run(self, batch: List[_Work]):
@@ -358,7 +365,9 @@ class RecCropBatcher:
         item0 = works[0].item
         fused = item0["fused"]
         out_h = item0["out_h"]
-        bucket_w = item0["bucket_w"]
+        # promoted groups mix width buckets; run at the widest (exact for
+        # width-masking forwards — see submit())
+        bucket_w = max(w.item["bucket_w"] for w in works)
         use_cls = item0["use_cls"]
         sizes = [len(w.item["cls_mats"]) for w in works]
         n = sum(sizes)
@@ -400,7 +409,9 @@ class RecCropBatcher:
         prob = np.asarray(prob)
         off = 0
         for w, k in zip(works, sizes):
-            w.result = (idx[off:off + k], prob[off:off + k])
+            # run bucket rides along: promoted groups may have run wider
+            # than the page's own bucket (decode stride = run_w // T)
+            w.result = (idx[off:off + k], prob[off:off + k], bucket_w)
             off += k
             w.event.set()
 

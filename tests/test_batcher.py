@@ -170,3 +170,55 @@ def test_rec_crop_batcher_parity(test_image):
         got_scores = np.array([l[1][1] for l in out])
         ref_scores = np.array([l[1][1] for l in ref])
         np.testing.assert_allclose(got_scores, ref_scores, atol=1e-3)
+
+
+def test_group_collapsed():
+    """Width-masking forwards route all non-extreme crops to ONE bucket
+    (page max); extreme-wide crops keep per-bucket routing."""
+    from onnxocr_tpu.pipeline import batching
+
+    ladder = (320, 480, 640, 800, 960, 1280)
+    groups = batching.group_collapsed([100, 400, 620, 300], ladder)
+    assert groups == {640: [0, 1, 2, 3]}
+    groups = batching.group_collapsed([100, 2000, 500], ladder)
+    assert groups[640] == [0, 2]
+    wide = [b for b, idx in groups.items() if idx == [1]]
+    assert wide and wide[0] >= 1280
+    assert batching.group_collapsed([], ladder) == {}
+
+
+def test_rec_crop_batcher_promotion_parity():
+    """Two same-source-bucket pages whose crop chunks land in DIFFERENT
+    width buckets coalesce into one promoted group (run at the max bucket)
+    and must still match the serial fused path exactly."""
+    import concurrent.futures
+    from onnxocr_tpu import ONNXPaddleOcr
+    from onnxocr_tpu import config as cfg_mod
+    from onnxocr_tpu.train import synth
+
+    c2i = synth.charset_from_dict(
+        cfg_mod.find_asset("ppocrv5/ppocrv5_dict.txt"))
+    r = synth.TextRenderer(char_to_idx=c2i, seed=31)
+    pages = []
+    for widths in ((3, 4), (16, 14)):  # short-line page vs long-line page
+        page = np.full((640, 640, 3), 235, np.uint8)
+        y = 60
+        for n in widths:
+            line = r.render_line(r.random_text(n), 36, 600)
+            lh, lw = line.shape[:2]
+            page[y:y + lh, 20:20 + lw] = line
+            y += lh + 70
+        pages.append(page)
+
+    plain = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0)
+    batched = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0,
+                            tpu_rec_microbatch=True,
+                            tpu_microbatch_wait_ms=50.0)
+    refs = [plain.ocr(p)[0] for p in pages]
+    with concurrent.futures.ThreadPoolExecutor(2) as pool:
+        outs = list(pool.map(lambda p: batched.ocr(p)[0], pages))
+    for ref, out in zip(refs, outs):
+        assert [l[1][0] for l in out] == [l[1][0] for l in ref]
+        np.testing.assert_allclose(
+            np.array([l[1][1] for l in out]),
+            np.array([l[1][1] for l in ref]), atol=1e-3)
