@@ -187,6 +187,12 @@ DEFAULTS = {
     # bit-identical). Quad box_type only; falls back to host otherwise.
     "tpu_det_postprocess": "host",
     "tpu_det_max_boxes": 1024,
+    # det→host wire: 'bitmap' downloads only the bitpacked DB bitmap (8x
+    # smaller than the quantized map; ~12 ms vs ~90 ms on the tunneled
+    # link) and defers box scoring to the fused cls+rec program against
+    # the HBM-resident prob map (pipeline/system._call_bitmap_wire).
+    # 'map' restores the quantized-map download + host scoring.
+    "tpu_det_wire": "bitmap",
     # One-call pipeline: det→DB boxes→cls→rec as ONE jit with a single
     # ~50KB download per image (pipeline/onecall.py). Huge win over the
     # tunneled TPU link where every download costs a ~30ms round trip;
@@ -195,7 +201,11 @@ DEFAULTS = {
     "tpu_pipeline": "staged",
     "tpu_onecall_rec_width": 640,
     "tpu_onecall_max_boxes": 64,
-    "tpu_onecall_det_candidates": 256,
+    # candidate-component budget BEFORE score filtering — must match the
+    # staged device path's tpu_det_max_boxes: real pages can carry
+    # hundreds of speckle components, and a lower cap (raster-first
+    # truncation) silently drops real boxes further down the page
+    "tpu_onecall_det_candidates": 1024,
     # One det canvas (round_up(limit_side_len, det bucket)²) for every
     # page in one-call mode: masked SE pools + valid-region DB extraction
     # make padding invisible, and collapsing the canvas compile axis cuts

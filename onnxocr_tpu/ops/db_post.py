@@ -155,6 +155,42 @@ class DBPostProcess:
             scores.append(score)
         return np.array(boxes, dtype=np.int32), scores
 
+    def candidates_from_bitmap(self, bitmap: np.ndarray, dest_width: int,
+                               dest_height: int
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Score-DEFERRED boxes_from_bitmap for the bitmap wire: the same
+        contour → min-area-quad → unclip chain, but WITHOUT the prob map —
+        box scoring runs on device against the HBM-resident map
+        (pipeline/fused.call_scored) and the box_thresh filter applies
+        when the scores come back (same final set and order as the
+        reference flow; unclip merely runs on candidates the reference
+        would have score-dropped first). quad + score_mode='fast' only.
+
+        Returns (pre_quads (K, 4, 2) float32 in MAP coords — the
+        pre-unclip quads the reference scores, db_postprocess.py:124-137 —
+        and boxes (K, 4, 2) int32 in source coords)."""
+        height, width = bitmap.shape
+        contours = _find_contours((bitmap * 255).astype(np.uint8))
+        pre_quads = []
+        boxes = []
+        for contour in contours[:self.max_candidates]:
+            points, sside = _min_area_quad(contour.reshape(-1, 2))
+            if sside < self.min_size:
+                continue
+            expanded = geometry.unclip(points, self.unclip_ratio)
+            box, sside = _min_area_quad(expanded.astype(np.float32))
+            if sside < self.min_size + 2:
+                continue
+            box = np.array(box)
+            box[:, 0] = np.clip(np.round(box[:, 0] / width * dest_width),
+                                0, dest_width)
+            box[:, 1] = np.clip(np.round(box[:, 1] / height * dest_height),
+                                0, dest_height)
+            pre_quads.append(points)
+            boxes.append(box.astype(np.int32))
+        return (np.asarray(pre_quads, np.float32).reshape(-1, 4, 2),
+                np.asarray(boxes, np.int32).reshape(-1, 4, 2))
+
     def polygons_from_bitmap(self, pred: np.ndarray, bitmap: np.ndarray,
                              dest_width: int, dest_height: int):
         height, width = bitmap.shape

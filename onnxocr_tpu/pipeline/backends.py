@@ -141,6 +141,37 @@ class DetForward:
             valid_hw = x_f32.shape[:2]
         return self._jit_f32(x_f32, jnp.asarray(valid_hw, jnp.int32))
 
+    # --- bitmap wire: forward + binarize + bitpack in one program --------
+    def call_normalized_bits(self, x_f32, valid_hw, thresh: float
+                             ) -> Tuple[jax.Array, jax.Array]:
+        """Det forward returning (bitpacked DB bitmap (H, W//8) uint8,
+        prob map (H, W) f32 STILL ON DEVICE). Only the bitmap crosses the
+        wire (det_pre.bitpack_map); the prob map stays in HBM for the
+        deferred box scoring inside the rec program
+        (pipeline/fused.call_scored)."""
+        if getattr(self, "_jit_bits", None) is None:
+
+            def fn(x, vhw, th):
+                if self.backend == "native":
+                    xx = x[None].astype(self.dtype)
+                    prob = dbnet.apply(self.params, xx,
+                                       backbone_arch=self.arch,
+                                       valid_hw=(vhw[0:1], vhw[1:2]))[0]
+                else:
+                    xt = jnp.transpose(x[None].astype(jnp.float32),
+                                       (0, 3, 1, 2))
+                    out = self.executor._interpret(
+                        self.executor._get_device_weights(),
+                        {self.executor.input_names[0]: xt})[0]
+                    prob = out[0, 0]
+                prob = prob.astype(jnp.float32)
+                bits = det_pre.bitpack_map(prob, vhw[0], vhw[1], th)
+                return bits, prob
+
+            self._jit_bits = jax.jit(fn)
+        return self._jit_bits(x_f32, jnp.asarray(valid_hw, jnp.int32),
+                              jnp.float32(thresh))
+
     # --- engine-level page batching, fixed det bucket: N host-resized pages
     # → N prob maps in ONE device call. All pages share one canvas shape, so
     # the only compile axis is the batch-size ladder.

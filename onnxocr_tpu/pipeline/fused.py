@@ -65,7 +65,13 @@ class FusedClsRec:
                 idx, prob = rec_fn(crops, (rec_valid + 7) // 8)
             else:
                 idx, prob = rec_fn(crops)
-            return idx, prob, cls_probs, rot
+            # ONE packed download — every extra np.asarray costs a ~25 ms
+            # round trip on the tunneled link. Layout: (N, 2T+3) =
+            # [idx (T), prob (T), cls_probs (2), rot (1)].
+            return jnp.concatenate(
+                [idx.astype(jnp.float32), prob.astype(jnp.float32),
+                 cls_probs.astype(jnp.float32),
+                 rot.astype(jnp.float32)[:, None]], axis=-1)
 
         return jax.jit(step, static_argnames=("out_h", "out_w"))
 
@@ -99,9 +105,71 @@ class FusedClsRec:
                 idx, prob = rec_fn(crops, (rec_valid + 7) // 8)
             else:
                 idx, prob = rec_fn(crops)
-            return idx, prob
+            # packed (N, 2T) = [idx, prob] — one download per group
+            return jnp.concatenate(
+                [idx.astype(jnp.float32), prob.astype(jnp.float32)],
+                axis=-1)
 
         return jax.jit(step, static_argnames=("out_h", "out_w"))
+
+    def _build_scored(self, use_cls: bool):
+        """Bitmap-wire variant: the DB box scores ride in the SAME program
+        as cls+rec. Host extracts candidate quads from the bitpacked
+        bitmap (db_post.candidates_from_bitmap) without ever downloading
+        the prob map; this step scores the pre-unclip quads against the
+        HBM-resident map (ops/db_device._quad_mask_mean — the exact
+        even-odd twin of the host scorer) while warping/recognizing every
+        candidate, and the host applies box_thresh afterwards."""
+        from ..ops.db_device import _quad_mask_mean
+        cls_fn = self.cls_forward._native_fn if \
+            self.cls_forward is not None and \
+            self.cls_forward.backend == "native" else \
+            (self.cls_forward._graph_fn if self.cls_forward else None)
+        rec_fn = self.rec_forward._native_fn if \
+            self.rec_forward.backend == "native" else self.rec_forward._graph_fn
+
+        def step(image_u8, prob, r_h, r_w, pre_quads, cls_mats, cls_valid,
+                 rec_mats, rec_mats_rot, rec_valid, out_h: int, out_w: int):
+            H, W = prob.shape
+            in_valid = (jnp.arange(H, dtype=jnp.int32)[:, None] < r_h) & \
+                (jnp.arange(W, dtype=jnp.int32)[None, :] < r_w)
+            scores = _quad_mask_mean(prob, pre_quads, in_valid)
+            if use_cls:
+                cls_crops = warp_ops.warp_crops(
+                    image_u8, cls_mats, cls_valid, self.cls_h, self.cls_w,
+                    self.interp)
+                cls_probs = cls_fn(cls_crops)
+                rot = (jnp.argmax(cls_probs, axis=1) == self.idx180) & \
+                    (cls_probs[:, self.idx180] > self.cls_thresh)
+                mats = jnp.where(rot[:, None, None], rec_mats_rot, rec_mats)
+            else:
+                mats = rec_mats
+            crops = warp_ops.warp_crops(image_u8, mats, rec_valid, out_h,
+                                        out_w, self.interp)
+            if self.rec_forward.masks_width:
+                idx, prob_max = rec_fn(crops, (rec_valid + 7) // 8)
+            else:
+                idx, prob_max = rec_fn(crops)
+            # packed (N, 2T+1) = [idx, prob, score] — one download
+            return jnp.concatenate(
+                [idx.astype(jnp.float32), prob_max.astype(jnp.float32),
+                 scores.astype(jnp.float32)[:, None]], axis=-1)
+
+        return jax.jit(step, static_argnames=("out_h", "out_w"))
+
+    def call_scored(self, image_u8_dev, prob_dev, r_h: int, r_w: int,
+                    pre_quads, cls_mats, cls_valid, rec_mats, rec_mats_rot,
+                    rec_valid, out_h: int, out_w: int, use_cls: bool = True):
+        key = ("scored", use_cls)
+        fn = self._jit.get(key)
+        if fn is None:
+            fn = self._build_scored(use_cls)
+            self._jit[key] = fn
+        return fn(image_u8_dev, prob_dev, jnp.int32(r_h), jnp.int32(r_w),
+                  jnp.asarray(pre_quads), jnp.asarray(cls_mats),
+                  jnp.asarray(cls_valid), jnp.asarray(rec_mats),
+                  jnp.asarray(rec_mats_rot), jnp.asarray(rec_valid),
+                  out_h, out_w)
 
     def call_multi(self, images_u8, img_idx, cls_mats, cls_valid, rec_mats,
                    rec_mats_rot, rec_valid, out_h: int, out_w: int,

@@ -258,10 +258,13 @@ class TextRecognizer:
                         cls_mats = np.concatenate([cls_mats, pad_m])
                         rec_valid = np.concatenate([rec_valid, pad_v])
                         cls_valid = np.concatenate([cls_valid, pad_v])
-                    idx, prob, _cls_probs, _rot = fused(
+                    packed = np.asarray(fused(
                         image_u8_dev, cls_mats, cls_valid, rec_mats,
-                        rot_mats, rec_valid, imgH, bucket_w, use_cls=use_cls)
-                idx = np.asarray(idx)[:k]
+                        rot_mats, rec_valid, imgH, bucket_w,
+                        use_cls=use_cls))
+                    T = (packed.shape[1] - 3) // 2
+                    idx, prob = packed[:, :T], packed[:, T:2 * T]
+                idx = np.asarray(idx)[:k].astype(np.int32)
                 prob = np.asarray(prob)[:k]
                 stride = run_w // idx.shape[1]
                 valid_t = [min(idx.shape[1], math.ceil(w / stride))
@@ -271,3 +274,61 @@ class TextRecognizer:
                 for i, res in zip(chunk, out):
                     results[i] = res
         return results
+
+    def run_candidates_scored(self, image_u8_dev, prob_dev, rh: int,
+                              rw: int, boxes: np.ndarray,
+                              pre_quads: np.ndarray, fused, cls_shape,
+                              use_cls: bool = True
+                              ) -> Tuple[List[Tuple[str, float]],
+                                         np.ndarray]:
+        """Bitmap-wire rec: like run_boxes_fused, but each chunk's program
+        also scores the candidates' pre-unclip quads against the
+        HBM-resident prob map (fused.call_scored) — no prob-map download.
+        Returns (rec results, DB box scores) in candidate order; the
+        caller applies the box_thresh filter."""
+        n = len(boxes)
+        scores = np.zeros(n, np.float32)
+        if n == 0:
+            return [], scores
+        imgH = self.rec_image_shape[1]
+        cls_h, cls_w = cls_shape
+        desired = self._desired_widths(boxes)
+        results: List[Tuple[str, float]] = [("", 0.0)] * n
+        groups = self._group(desired)
+        max_batch = self.batch_ladder[-1]
+        eye = np.eye(3, dtype=np.float32)
+        for bucket_w, indices in groups.items():
+            for chunk in batching.chunks_of(indices, max_batch):
+                k = len(chunk)
+                bsz = batching.pick_batch_bucket(k, self.batch_ladder)
+                rec_mats = np.tile(eye, (bsz, 1, 1))
+                rot_mats = np.tile(eye, (bsz, 1, 1))
+                cls_mats = np.tile(eye, (bsz, 1, 1))
+                rec_valid = np.zeros(bsz, np.int32)
+                cls_valid = np.zeros(bsz, np.int32)
+                quads = np.zeros((bsz, 4, 2), np.float32)
+                for row, i in enumerate(chunk):
+                    rec_mats[row], rec_valid[row] = \
+                        warp_ops.build_crop_matrix(boxes[i], imgH, bucket_w)
+                    rot_mats[row], _ = warp_ops.build_crop_matrix(
+                        boxes[i], imgH, bucket_w, rotate180=True)
+                    cls_mats[row], cls_valid[row] = \
+                        warp_ops.build_crop_matrix(boxes[i], cls_h, cls_w)
+                    quads[row] = pre_quads[i]
+                packed = np.asarray(fused.call_scored(
+                    image_u8_dev, prob_dev, rh, rw, quads, cls_mats,
+                    cls_valid, rec_mats, rot_mats, rec_valid, imgH,
+                    bucket_w, use_cls=use_cls))
+                T = (packed.shape[1] - 1) // 2
+                idx = packed[:k, :T].astype(np.int32)
+                prob = packed[:k, T:2 * T]
+                sc = packed[:k, 2 * T]
+                stride = bucket_w // idx.shape[1]
+                valid_t = [min(idx.shape[1], math.ceil(w / stride))
+                           for w in rec_valid[:k]]
+                out = self.postprocess_op.decode_indices(
+                    idx, prob, is_remove_duplicate=True, valid_t=valid_t)
+                for row, i in enumerate(chunk):
+                    results[i] = out[row]
+                    scores[i] = sc[row]
+        return results, scores

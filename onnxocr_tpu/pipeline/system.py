@@ -106,6 +106,96 @@ class TextSystem:
                                    img_crop_list, rec_res)
         return dt_boxes, rec_res
 
+    def _call_bitmap_wire(self, img, cls: bool, timer):
+        """Bitmap-wire hot path: det forward downloads only the bitpacked
+        DB bitmap (~8x smaller than the quantized map — the map download
+        dominated det latency on the ~7 MB/s tunnel); the prob map stays
+        in HBM, the host extracts score-DEFERRED candidates
+        (db_post.candidates_from_bitmap), and ONE fused program scores
+        them against the resident map while running cls+rec
+        (fused.call_scored). Two downloads per page total."""
+        import jax
+        import jax.numpy as jnp
+        from ..ops import resize_dev, det_pre, geometry, db_post
+
+        det = self.text_detector
+        rec = self.text_recognizer
+        pp = det.postprocess_op
+        with timer.stage("img_upload"):
+            padded_src, src_h, src_w = resize_dev.pad_src_bucket(img)
+            image_dev = jax.device_put(padded_src)
+        with timer.stage("det"):
+            rh, rw = det_pre.det_resize_target(
+                src_h, src_w, det.limit_side_len, det.limit_type)
+            # fixed canvas on TPU collapses the det compile axis to the
+            # source bucket (activation masking makes padding invisible);
+            # CPU keeps per-page buckets (no compile pressure, less work)
+            fixed = (det.forward.backend == "native" and
+                     det.forward.arch == "mbv3" and
+                     jax.default_backend() == "tpu")
+            if fixed:
+                cap = det_pre.round_up(int(det.limit_side_len), det.bucket)
+                hb = wb = max(cap, det_pre.round_up(max(rh, rw),
+                                                    det.bucket))
+            else:
+                hb = det_pre.round_up(rh, det.bucket)
+                wb = det_pre.round_up(rw, det.bucket)
+            x = resize_dev.resize_normalize_det(
+                image_dev, jnp.int32(src_h), jnp.int32(src_w),
+                jnp.int32(rh), jnp.int32(rw), hb, wb)
+            bits_dev, prob_dev = det.forward.call_normalized_bits(
+                x, (rh, rw), pp.thresh)
+            bitmap = det_pre.unpack_bitmap(
+                np.asarray(bits_dev[:rh, :rw // 8]), rw)
+            if pp.use_dilation:
+                bitmap = geometry.dilate2x2(bitmap.astype(np.uint8))
+            pre_quads, cand = pp.candidates_from_bitmap(
+                bitmap, img.shape[1], img.shape[0])
+            # filter_tag_det_res with candidate-index tracking
+            keep_pre, keep_boxes = [], []
+            for q, b in zip(pre_quads, cand):
+                box = geometry.order_points_clockwise(
+                    np.asarray(b, np.float32))
+                box = det.clip_det_res(box, img.shape[0], img.shape[1])
+                w_i = int(np.linalg.norm(box[0] - box[1]))
+                h_i = int(np.linalg.norm(box[0] - box[3]))
+                if w_i <= 3 or h_i <= 3:
+                    continue
+                keep_pre.append(q)
+                keep_boxes.append(box)
+        if not keep_boxes:
+            return [], []
+        boxes = np.asarray(keep_boxes, np.float32)
+        pre = np.asarray(keep_pre, np.float32)
+        use_cls = bool(self.use_angle_cls and cls and
+                       self._fused.idx180 is not None)
+        cls_shape = (self._fused.cls_h, self._fused.cls_w)
+        if len(boxes) <= rec.batch_ladder[-1] * 4:
+            with timer.stage("cls_rec_fused"):
+                rec_res, scores = rec.run_candidates_scored(
+                    image_dev, prob_dev, rh, rw, boxes, pre, self._fused,
+                    cls_shape, use_cls=use_cls)
+            keep = scores >= pp.box_thresh
+            fb = [b for b, k in zip(boxes, keep) if k]
+            fr = [r for r, k in zip(rec_res, keep) if k]
+            order = _sorted_pair_order(fb)
+            return [fb[i] for i in order], [fr[i] for i in order]
+        # candidate overflow (speckle-heavy page): score on host from the
+        # downloaded map, then the standard sorted fused rec path
+        with timer.stage("det"):
+            prob = np.asarray(prob_dev[:rh, :rw])
+            scores = np.asarray([db_post.box_score_fast(prob, q)
+                                 for q in pre], np.float32)
+            dt_boxes = sorted_boxes(
+                [b for b, s in zip(boxes, scores) if s >= pp.box_thresh])
+        if not dt_boxes:
+            return dt_boxes, []
+        with timer.stage("cls_rec_fused"):
+            rec_res = rec.run_boxes_fused(
+                image_dev, np.asarray(dt_boxes, np.float32), self._fused,
+                cls_shape, use_cls=use_cls)
+        return dt_boxes, rec_res
+
     def _call_device_crops(self, img, cls: bool):
         from ..utils.profiling import GLOBAL as timer
         image_dev = None
@@ -126,6 +216,22 @@ class TextSystem:
                 dt_boxes = [boxes[i] for i in order]
                 rec_res = [rec_res[i] for i in order]
                 return dt_boxes, rec_res
+        bitmap_wire = (
+            not tiny and
+            getattr(self.args, "tpu_det_wire", "bitmap") == "bitmap" and
+            self._fused is not None and
+            self.text_detector._page_batcher is None and
+            self.text_recognizer._crop_batcher is None and
+            getattr(self.args, "tpu_det_postprocess", "host") == "host" and
+            getattr(self.args, "tpu_det_input", "device") == "device" and
+            self.args.det_box_type == "quad" and
+            self.args.det_db_score_mode == "fast" and
+            self.text_detector.limit_type == "max" and
+            self.text_detector.image_shape is None)
+        if bitmap_wire:
+            out = self._call_bitmap_wire(img, cls, timer)
+            if out is not None:
+                return out
         det_post_device = (
             not tiny and
             getattr(self.args, "tpu_det_postprocess", "host") == "device" and

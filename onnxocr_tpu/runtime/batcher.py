@@ -150,13 +150,27 @@ class DetPageBatcher:
     def __init__(self, det_forward, limit_side_len: float = 960,
                  limit_type: str = "max", max_wait_ms: float = 8.0,
                  batch_ladder: Sequence[int] = (1, 2, 4, 8), mesh=None,
-                 post=None, max_boxes: int = 256, bucket: int = 320):
+                 post=None, max_boxes: int = 256, bucket: int = 320,
+                 fixed_canvas: Optional[bool] = None):
         assert limit_type == "max"
         self.forward = det_forward
         self.limit_side_len = limit_side_len
         self.limit_type = limit_type
         self.bucket = bucket
         self.post = post
+        # Fixed-canvas coalescing: every page pads to ONE
+        # round_up(limit, bucket)² canvas so ALL concurrent det forwards
+        # share a group (the per-page-bucket scheme only coalesces pages
+        # whose canvases happen to match). Requires activation masking
+        # (models/dbnet.apply valid_hw) — native mbv3 only.
+        if fixed_canvas is None:
+            fixed_canvas = (det_forward.backend == "native" and
+                            det_forward.arch == "mbv3")
+        self.canvas = None
+        if fixed_canvas:
+            from ..ops import det_pre
+            cap = det_pre.round_up(int(limit_side_len), bucket)
+            self.canvas = (cap, cap)
         if post is not None:
             # boxes mode: det forward AND DB box extraction run on device
             # per batch; submit_boxes returns unpacked source-coord quads
@@ -218,15 +232,16 @@ class DetPageBatcher:
         self.batcher.close()
 
     # NOTE canvas bucketing: pages are padded to the same per-page
-    # /det-bucket canvas the unbatched host path uses (NOT one fixed
-    # max canvas). The backbone's SE blocks take GLOBAL average pools, so
-    # activations depend on how much zero padding the canvas carries —
-    # page batches group by canvas shape (the MicroBatcher's group key) to
-    # keep batched outputs equal to the unbatched path.
+    # /det-bucket canvas the unbatched host path uses — or, with a native
+    # masked backbone (self.canvas set), ONE fixed canvas for every page:
+    # activation masking (models/dbnet.apply valid_hw) makes canvas padding
+    # invisible, so heterogeneous pages coalesce into a single group
+    # instead of splitting by canvas shape (the MicroBatcher's group key).
     def _prepare(self, img: np.ndarray):
         from ..ops import det_pre
         return det_pre.prepare_det_input(
-            img, self.limit_side_len, self.limit_type, bucket=self.bucket)
+            img, self.limit_side_len, self.limit_type, bucket=self.bucket,
+            canvas=self.canvas)
 
     def submit(self, img: np.ndarray):
         """BGR page → (prob_map (rh, rw) float32, shape_info)."""
@@ -400,13 +415,14 @@ class RecCropBatcher:
         for row, k in enumerate(sizes):
             img_idx[off:off + k] = row
             off += k
-        idx, prob = fused.call_multi(
+        packed = np.asarray(fused.call_multi(
             _stack_pages(images), img_idx,
             pack("cls_mats", eye), pack("cls_valid"),
             pack("rec_mats", eye), pack("rot_mats", eye),
-            pack("rec_valid"), out_h, bucket_w, use_cls=use_cls)
-        idx = np.asarray(idx)
-        prob = np.asarray(prob)
+            pack("rec_valid"), out_h, bucket_w, use_cls=use_cls))
+        T = packed.shape[1] // 2
+        idx = packed[:, :T].astype(np.int32)
+        prob = packed[:, T:]
         off = 0
         for w, k in zip(works, sizes):
             # run bucket rides along: promoted groups may have run wider
