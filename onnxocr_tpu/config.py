@@ -165,8 +165,13 @@ DEFAULTS = {
     "tpu_backend": "auto",
     # Compute dtype for the native models: 'float32' or 'bfloat16'.
     "tpu_dtype": "float32",
-    # Interpolation for device crops: 'bilinear' | 'bicubic'.
-    "tpu_warp_interp": "bicubic",
+    # Interpolation for device crops: 'bilinear' | 'bicubic'. TPU gathers
+    # are index-rate-bound, so bicubic's 16 taps cost ~4x bilinear; the
+    # native checkpoints train on un-warped renders and measure slightly
+    # BETTER with bilinear (0.944 vs 0.921 synthetic char-acc), so
+    # bilinear is the default. 'bicubic' restores cv2 INTER_CUBIC
+    # crop-pixel parity with the reference warp.
+    "tpu_warp_interp": "bilinear",
     # Wire format of the det prob map download: 'uint8' quantizes to 1/255
     # (box scores shift < 0.002 — the tunnel is the bottleneck, 4x fewer
     # bytes), 'float16', or 'float32' for strict parity.
@@ -193,6 +198,10 @@ DEFAULTS = {
     # the HBM-resident prob map (pipeline/system._call_bitmap_wire).
     # 'map' restores the quantized-map download + host scoring.
     "tpu_det_wire": "bitmap",
+    # Fixed det canvas in the bitmap wire: 'auto' = on TPU only (collapse
+    # the det compile axis; padding is invisible under activation
+    # masking), 'always' / 'never' force it.
+    "tpu_det_fixed_canvas": "auto",
     # One-call pipeline: det→DB boxes→cls→rec as ONE jit with a single
     # ~50KB download per image (pipeline/onecall.py). Huge win over the
     # tunneled TPU link where every download costs a ~30ms round trip;

@@ -31,7 +31,7 @@ def _resize_normalize_det(image_u8: jax.Array, src_h: jax.Array,
     resize_h × resize_w region is the bilinear resize of the valid source.
     """
     Hs, Ws = image_u8.shape[:2]
-    flat = image_u8.reshape(-1, 3).astype(jnp.float32)
+    flat = image_u8.reshape(-1, 3)  # uint8; taps convert post-gather
 
     ys = jnp.arange(out_h, dtype=jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)
@@ -52,9 +52,10 @@ def _resize_normalize_det(image_u8: jax.Array, src_h: jax.Array,
     x1 = jnp.minimum(x0 + 1, src_w - 1)
 
     def tap(yy, xx):
+        # uint8 gather, f32 conversion after (4x less gather bandwidth)
         idx = yy[:, None] * Ws + xx[None, :]
         return jnp.take(flat, idx.reshape(-1), axis=0).reshape(
-            out_h, out_w, 3)
+            out_h, out_w, 3).astype(jnp.float32)
 
     top = tap(y0, x0) * (1 - fx) + tap(y0, x1) * fx
     bot = tap(y1, x0) * (1 - fx) + tap(y1, x1) * fx

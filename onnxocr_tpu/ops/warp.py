@@ -131,9 +131,12 @@ def _sample_bilinear(flat, H, W, sx, sy):
     y0 = y0.astype(jnp.int32)
 
     def tap(yy, xx):
+        # gather the uint8 source and convert AFTER: 4x less gather
+        # bandwidth and no full-image f32 materialization; bit-identical
+        # (u8→f32 commutes with the gather)
         yy = jnp.clip(yy, 0, H - 1)
         xx = jnp.clip(xx, 0, W - 1)
-        return jnp.take(flat, yy * W + xx, axis=0)
+        return jnp.take(flat, yy * W + xx, axis=0).astype(jnp.float32)
 
     fx = fx[..., None]
     fy = fy[..., None]
@@ -153,9 +156,10 @@ def _sample_bicubic(flat, H, W, sx, sy):
     wy = _cubic_weights(fy)
 
     def tap(yy, xx):
+        # uint8 gather — see _sample_bilinear.tap
         yy = jnp.clip(yy, 0, H - 1)
         xx = jnp.clip(xx, 0, W - 1)
-        return jnp.take(flat, yy * W + xx, axis=0)
+        return jnp.take(flat, yy * W + xx, axis=0).astype(jnp.float32)
 
     out = 0.0
     for j in range(4):
@@ -182,7 +186,7 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
       x/255 → (x-0.5)/0.5, predict_rec.py:74-77).
     """
     H, W = image_u8.shape[:2]
-    flat = image_u8.reshape(-1, 3).astype(jnp.float32)
+    flat = image_u8.reshape(-1, 3)  # stays uint8; taps convert post-gather
 
     xs = jnp.arange(out_w, dtype=jnp.float32)
     ys = jnp.arange(out_h, dtype=jnp.float32)
@@ -226,7 +230,7 @@ def warp_crops_multi(images_u8: jax.Array, img_idx: jax.Array,
     Returns (N, out_h, out_w, 3) float32 normalized crops.
     """
     B, H, W = images_u8.shape[:3]
-    flat = images_u8.reshape(-1, 3).astype(jnp.float32)
+    flat = images_u8.reshape(-1, 3)  # uint8; taps convert post-gather
 
     xs = jnp.arange(out_w, dtype=jnp.float32)
     ys = jnp.arange(out_h, dtype=jnp.float32)

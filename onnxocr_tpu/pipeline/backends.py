@@ -199,6 +199,33 @@ class DetForward:
             self._jit_pages_u8 = jax.jit(fn)
         return self._jit_pages_u8(batch)
 
+    def make_pages_bits_fn(self, thresh: float):
+        """Batched bitmap-wire det: {"pages": (B, Hb, Wb, 3) uint8,
+        "rhw": (B, 2) int32} → (bits (B, Hb, Wb//8) uint8, probs
+        (B, Hb, Wb) f32). Only the bits cross the wire (the batcher's
+        to_host keeps probs device-resident for the deferred scoring
+        call); per-page wire cost drops from ~0.9 MB to ~115 KB."""
+
+        def fn(batch):
+            pages, rhw = batch["pages"], batch["rhw"]
+            x = det_pre.normalize_det(pages).astype(self.dtype)
+            if self.backend == "native":
+                prob = dbnet.apply(self.params, x, backbone_arch=self.arch,
+                                   valid_hw=(rhw[:, 0], rhw[:, 1]))
+            else:
+                xt = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
+                out = self.executor._interpret(
+                    self.executor._get_device_weights(),
+                    {self.executor.input_names[0]: xt})[0]
+                prob = out[:, 0]
+            prob = prob.astype(jnp.float32)
+            bits = jax.vmap(det_pre.bitpack_map,
+                            in_axes=(0, 0, 0, None))(
+                prob, rhw[:, 0], rhw[:, 1], jnp.float32(thresh))
+            return bits, prob
+
+        return jax.jit(fn)
+
     def make_pages_boxes_fn(self, pp, max_k: int):
         """Batched det + ON-DEVICE box extraction: (B, Hb, Wb, 3) uint8 det
         canvases + (B, 2) resize extents → (B, max_k, 10) packed rows

@@ -70,12 +70,19 @@ class TextDetector:
                 and self.args.det_box_type == "quad" \
                 and not self.args.use_dilation:
             post = self.postprocess_op  # boxes mode: device DB extraction
+        wire = "maps"
+        if post is None and \
+                getattr(self.args, "tpu_det_wire", "bitmap") == "bitmap" \
+                and self.args.det_box_type == "quad" \
+                and self.args.det_db_score_mode == "fast":
+            wire = "bits"
         from ..runtime.batcher import DetPageBatcher
         self._page_batcher = DetPageBatcher(
             self.forward, self.limit_side_len, self.limit_type,
             max_wait_ms=max_wait_ms, mesh=mesh, post=post,
             max_boxes=int(getattr(self.args, "tpu_det_max_boxes", 256)),
-            bucket=self.bucket)
+            bucket=self.bucket, wire=wire,
+            det_thresh=self.postprocess_op.thresh)
         return True
 
     def order_points_clockwise(self, pts: np.ndarray) -> np.ndarray:
@@ -219,6 +226,14 @@ class TextDetector:
             if self._page_batcher.post is not None:
                 raw = self._page_batcher.submit_boxes(img)
                 return self.filter_tag_det_res(raw, img.shape)
+            if self._page_batcher.wire == "bits":
+                # det-only callers still need host scores: download the
+                # page's map slice from the device-resident wave probs
+                _bm, prob_dev, (rh, rw), shape_info = \
+                    self._page_batcher.submit_bits(img)
+                prob = backends.DetForward.decode_map(
+                    np.asarray(prob_dev[:rh, :rw]))
+                return self.boxes_from_prob(prob, shape_info, img.shape)
             prob, shape_info = self._page_batcher.submit(img)
         else:
             prob, shape_info = self.infer_prob_map(img)

@@ -125,28 +125,39 @@ class TextSystem:
             padded_src, src_h, src_w = resize_dev.pad_src_bucket(img)
             image_dev = jax.device_put(padded_src)
         with timer.stage("det"):
-            rh, rw = det_pre.det_resize_target(
-                src_h, src_w, det.limit_side_len, det.limit_type)
-            # fixed canvas on TPU collapses the det compile axis to the
-            # source bucket (activation masking makes padding invisible);
-            # CPU keeps per-page buckets (no compile pressure, less work)
-            fixed = (det.forward.backend == "native" and
-                     det.forward.arch == "mbv3" and
-                     jax.default_backend() == "tpu")
-            if fixed:
-                cap = det_pre.round_up(int(det.limit_side_len), det.bucket)
-                hb = wb = max(cap, det_pre.round_up(max(rh, rw),
-                                                    det.bucket))
+            batcher = det._page_batcher
+            if batcher is not None and batcher.wire == "bits":
+                # cross-request path: the wave's det forwards coalesce and
+                # its bitpacked bitmaps download as ONE transfer
+                bitmap, prob_dev, (rh, rw), _info = \
+                    batcher.submit_bits(img)
             else:
-                hb = det_pre.round_up(rh, det.bucket)
-                wb = det_pre.round_up(rw, det.bucket)
-            x = resize_dev.resize_normalize_det(
-                image_dev, jnp.int32(src_h), jnp.int32(src_w),
-                jnp.int32(rh), jnp.int32(rw), hb, wb)
-            bits_dev, prob_dev = det.forward.call_normalized_bits(
-                x, (rh, rw), pp.thresh)
-            bitmap = det_pre.unpack_bitmap(
-                np.asarray(bits_dev[:rh, :rw // 8]), rw)
+                rh, rw = det_pre.det_resize_target(
+                    src_h, src_w, det.limit_side_len, det.limit_type)
+                # fixed canvas on TPU collapses the det compile axis to
+                # the source bucket (activation masking makes padding
+                # invisible); CPU keeps per-page buckets
+                mode = getattr(self.args, "tpu_det_fixed_canvas", "auto")
+                fixed = (det.forward.backend == "native" and
+                         det.forward.arch == "mbv3" and
+                         (mode == "always" or
+                          (mode == "auto" and
+                           jax.default_backend() == "tpu")))
+                if fixed:
+                    cap = det_pre.round_up(int(det.limit_side_len),
+                                           det.bucket)
+                    hb = wb = max(cap, det_pre.round_up(max(rh, rw),
+                                                        det.bucket))
+                else:
+                    hb = det_pre.round_up(rh, det.bucket)
+                    wb = det_pre.round_up(rw, det.bucket)
+                x = resize_dev.resize_normalize_det(
+                    image_dev, jnp.int32(src_h), jnp.int32(src_w),
+                    jnp.int32(rh), jnp.int32(rw), hb, wb)
+                bits_dev, prob_dev = det.forward.call_normalized_bits(
+                    x, (rh, rw), pp.thresh)
+                bitmap = det_pre.unpack_bitmap(
+                    np.asarray(bits_dev[:rh, :rw // 8]), rw)
             if pp.use_dilation:
                 bitmap = geometry.dilate2x2(bitmap.astype(np.uint8))
             pre_quads, cand = pp.candidates_from_bitmap(
@@ -216,12 +227,12 @@ class TextSystem:
                 dt_boxes = [boxes[i] for i in order]
                 rec_res = [rec_res[i] for i in order]
                 return dt_boxes, rec_res
+        det_batcher = self.text_detector._page_batcher
         bitmap_wire = (
             not tiny and
             getattr(self.args, "tpu_det_wire", "bitmap") == "bitmap" and
             self._fused is not None and
-            self.text_detector._page_batcher is None and
-            self.text_recognizer._crop_batcher is None and
+            (det_batcher is None or det_batcher.wire == "bits") and
             getattr(self.args, "tpu_det_postprocess", "host") == "host" and
             getattr(self.args, "tpu_det_input", "device") == "device" and
             self.args.det_box_type == "quad" and

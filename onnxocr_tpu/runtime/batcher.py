@@ -35,11 +35,19 @@ class _Work:
 class MicroBatcher:
     def __init__(self, fn: Callable, max_batch: int = 64,
                  max_wait_ms: float = 4.0,
-                 batch_ladder: Sequence[int] = (1, 2, 4, 8, 16, 32, 64)):
+                 batch_ladder: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
+                 to_host: Optional[Callable] = None):
         self.fn = fn
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
         self.batch_ladder = tuple(batch_ladder)
+        # to_host(out) converts fn's output for distribution to waiters;
+        # the default downloads everything, but a caller can keep chosen
+        # leaves device-resident (e.g. det bits mode downloads only the
+        # bitpacked bitmaps while the prob maps stay in HBM for the
+        # deferred scoring call)
+        self._to_host = to_host or (
+            lambda out: jax.tree_util.tree_map(np.asarray, out))
         self._q: "queue.Queue[_Work]" = queue.Queue()
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -122,7 +130,7 @@ class MicroBatcher:
                 stacked = jax.tree_util.tree_map(
                     stack, works[0].item, *[w.item for w in works[1:]])
                 out = self.fn(stacked)
-                out_np = jax.tree_util.tree_map(np.asarray, out)
+                out_np = self._to_host(out)
                 off = 0
                 for w, k in zip(works, sizes):
                     w.result = jax.tree_util.tree_map(
@@ -151,13 +159,15 @@ class DetPageBatcher:
                  limit_type: str = "max", max_wait_ms: float = 8.0,
                  batch_ladder: Sequence[int] = (1, 2, 4, 8), mesh=None,
                  post=None, max_boxes: int = 256, bucket: int = 320,
-                 fixed_canvas: Optional[bool] = None):
+                 fixed_canvas: Optional[bool] = None,
+                 wire: str = "maps", det_thresh: float = 0.3):
         assert limit_type == "max"
         self.forward = det_forward
         self.limit_side_len = limit_side_len
         self.limit_type = limit_type
         self.bucket = bucket
         self.post = post
+        self.wire = wire if post is None and mesh is None else "maps"
         # Fixed-canvas coalescing: every page pads to ONE
         # round_up(limit, bucket)² canvas so ALL concurrent det forwards
         # share a group (the per-page-bucket scheme only coalesces pages
@@ -171,11 +181,17 @@ class DetPageBatcher:
             from ..ops import det_pre
             cap = det_pre.round_up(int(limit_side_len), bucket)
             self.canvas = (cap, cap)
+        to_host = None
         if post is not None:
             # boxes mode: det forward AND DB box extraction run on device
             # per batch; submit_boxes returns unpacked source-coord quads
             fn = det_forward.make_pages_boxes_fn(post, max_boxes)
             mesh = None  # sharded variant of the boxes program: not yet
+        elif self.wire == "bits":
+            # bitmap wire: only the bitpacked bitmaps download (one wave
+            # transfer); prob maps stay in HBM for deferred scoring
+            fn = det_forward.make_pages_bits_fn(det_thresh)
+            to_host = lambda out: (np.asarray(out[0]), out[1])  # noqa: E731
         else:
             fn = det_forward.call_pages_u8
         if mesh is not None:
@@ -191,7 +207,8 @@ class DetPageBatcher:
         self.batcher = MicroBatcher(fn,
                                     max_batch=batch_ladder[-1],
                                     max_wait_ms=max_wait_ms,
-                                    batch_ladder=batch_ladder)
+                                    batch_ladder=batch_ladder,
+                                    to_host=to_host)
 
     def _make_sharded_fn(self, mesh):
         import jax
@@ -254,6 +271,21 @@ class DetPageBatcher:
         else:
             out0 = out0[:rh, :rw]
         return self.forward.decode_map(out0), shape_info
+
+    def submit_bits(self, img: np.ndarray):
+        """BGR page → (bitmap (rh, rw) uint8 0/1, prob map (Hb, Wb)
+        DEVICE-resident row, (rh, rw), shape_info). Bitmap-wire mode: the
+        batched det call's only download is the wave's bitpacked bitmaps;
+        each page's prob map stays in HBM for fused.call_scored."""
+        from ..ops import det_pre
+        assert self.wire == "bits"
+        padded, shape_info, (rh, rw) = self._prepare(img)
+        bits_rows, prob_rows = self.batcher.submit(
+            {"pages": padded[None],
+             "rhw": np.array([[rh, rw]], np.int32)})
+        bitmap = det_pre.unpack_bitmap(
+            np.asarray(bits_rows[0][:rh, :(rw + 7) // 8]), rw)
+        return bitmap, prob_rows[0], (rh, rw), shape_info
 
     def submit_boxes(self, img: np.ndarray) -> np.ndarray:
         """BGR page → (N, 4, 2) int32 quads in source coords (boxes mode:

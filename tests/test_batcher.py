@@ -222,3 +222,24 @@ def test_rec_crop_batcher_promotion_parity():
         np.testing.assert_allclose(
             np.array([l[1][1] for l in out]),
             np.array([l[1][1] for l in ref]), atol=1e-3)
+
+
+def test_det_bits_batcher_e2e_parity(test_image):
+    """Full det+cls+rec through the bits-wire page batcher (concurrent)
+    matches the unbatched bitmap-wire pipeline."""
+    import concurrent.futures
+    from onnxocr_tpu import ONNXPaddleOcr
+
+    plain = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0)
+    batched = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0,
+                            tpu_det_microbatch=True)
+    assert batched.text_detector._page_batcher.wire == "bits"
+    ref = plain.ocr(test_image)[0]
+    with concurrent.futures.ThreadPoolExecutor(3) as pool:
+        outs = list(pool.map(lambda im: batched.ocr(im)[0],
+                             [test_image] * 3))
+    for out in outs:
+        assert [l[1][0] for l in out] == [l[1][0] for l in ref]
+        np.testing.assert_allclose(
+            np.array([l[1][1] for l in out]),
+            np.array([l[1][1] for l in ref]), atol=2e-3)
