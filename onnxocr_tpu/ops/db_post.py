@@ -109,6 +109,21 @@ def _find_contours(bitmap_u8: np.ndarray) -> List[np.ndarray]:
     return [c.reshape(-1, 2) for c in contours]
 
 
+def _candidate_contours(bitmap_u8: np.ndarray, min_sq: float,
+                        max_candidates: int) -> List[np.ndarray]:
+    """Contours eligible for the DB quad loop: first max_candidates by
+    ORIGINAL raster index (reference `contours[:max_candidates]`), minus
+    those whose bbox area < min_sq — an exact prefilter (min-area-rect
+    sside ≤ √(bbox area)) that keeps speckle out of the per-contour
+    geometry calls. Runs inside the C++ tracer when available."""
+    from ..runtime import native
+    if native.has_filtered_contours():
+        return native.find_contours_filtered(bitmap_u8, min_sq,
+                                             max_candidates)
+    return [c for c in _find_contours(bitmap_u8)[:max_candidates]
+            if float(np.ptp(c[:, 0])) * float(np.ptp(c[:, 1])) >= min_sq]
+
+
 class DBPostProcess:
     """Same knobs and output contract as the reference class
     (db_postprocess.py:29-246)."""
@@ -129,10 +144,11 @@ class DBPostProcess:
     def boxes_from_bitmap(self, pred: np.ndarray, bitmap: np.ndarray,
                           dest_width: int, dest_height: int):
         height, width = bitmap.shape
-        contours = _find_contours((bitmap * 255).astype(np.uint8))
         boxes = []
         scores = []
-        for contour in contours[:self.max_candidates]:
+        for contour in _candidate_contours(
+                (bitmap * 255).astype(np.uint8),
+                float(self.min_size) ** 2, self.max_candidates):
             points, sside = _min_area_quad(contour.reshape(-1, 2))
             if sside < self.min_size:
                 continue
@@ -170,10 +186,11 @@ class DBPostProcess:
         pre-unclip quads the reference scores, db_postprocess.py:124-137 —
         and boxes (K, 4, 2) int32 in source coords)."""
         height, width = bitmap.shape
-        contours = _find_contours((bitmap * 255).astype(np.uint8))
         pre_quads = []
         boxes = []
-        for contour in contours[:self.max_candidates]:
+        for contour in _candidate_contours(
+                (bitmap * 255).astype(np.uint8),
+                float(self.min_size) ** 2, self.max_candidates):
             points, sside = _min_area_quad(contour.reshape(-1, 2))
             if sside < self.min_size:
                 continue

@@ -76,6 +76,19 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int,
             ]
             try:  # absent in libraries built before this symbol existed
+                lib.ocr_find_contours_filtered.restype = ctypes.c_int
+                lib.ocr_find_contours_filtered.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int, ctypes.c_int,
+                    ctypes.c_double,    # min bbox area
+                    ctypes.c_longlong,  # max traced index
+                ]
+            except AttributeError:
+                pass
+            try:  # absent in libraries built before this symbol existed
                 lib.ocr_box_score.restype = ctypes.c_double
                 lib.ocr_box_score.argtypes = [
                     ctypes.POINTER(ctypes.c_float),  # prob map
@@ -107,6 +120,38 @@ def find_contours(bitmap_u8: np.ndarray) -> List[np.ndarray]:
         pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         max_points, max_contours)
+    out = []
+    off = 0
+    for i in range(n):
+        k = lens[i]
+        out.append(pts[off:off + k].copy())
+        off += k
+    return out
+
+
+def has_filtered_contours() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "ocr_find_contours_filtered")
+
+
+def find_contours_filtered(bitmap_u8: np.ndarray, min_bbox_area: float,
+                           max_index: int) -> List[np.ndarray]:
+    """Raster-order contours whose bbox area ≥ min_bbox_area, among the
+    first max_index traced (the DB `contours[:max_candidates]` slice by
+    ORIGINAL index) — the speckle prefilter runs in C++ so thousands of
+    1-2 px contours never reach Python."""
+    lib = _load()
+    h, w = bitmap_u8.shape
+    bitmap_u8 = np.ascontiguousarray(bitmap_u8)
+    max_points = h * w + 4
+    max_contours = 8192
+    pts = np.empty((max_points, 2), dtype=np.int32)
+    lens = np.empty(max_contours, dtype=np.int32)
+    n = lib.ocr_find_contours_filtered(
+        bitmap_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        max_points, max_contours, float(min_bbox_area), int(max_index))
     out = []
     off = 0
     for i in range(n):

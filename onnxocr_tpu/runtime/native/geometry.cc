@@ -36,8 +36,19 @@ extern "C" {
 // bitmap: h*w uint8 (0/nonzero). Emits contours as a flat (x, y) int32
 // array; lens[i] = number of points in contour i. Returns the number of
 // contours (or -1 on overflow).
-int ocr_find_contours(const uint8_t* bitmap, int h, int w, int32_t* out_pts,
-                      int32_t* out_lens, int max_points, int max_contours) {
+//
+// min_bbox_area / max_index (filtered variant): a traced contour is
+// emitted only when (ptp_x * ptp_y) >= min_bbox_area — the exact DB
+// speckle prefilter (min-area-rect sside <= sqrt(bbox area)) — and
+// tracing stops once max_index contours have been TRACED (emitted or
+// not), preserving the reference's `contours[:max_candidates]` slice
+// semantics by ORIGINAL raster index. Noisy prob maps produce thousands
+// of 1-2 px speckle contours; filtering here keeps them out of the
+// Python loop and out of the output capacity.
+static int trace_contours(const uint8_t* bitmap, int h, int w,
+                          int32_t* out_pts, int32_t* out_lens,
+                          int max_points, int max_contours,
+                          double min_bbox_area, long long max_index) {
   // f: signed labels per Suzuki-Abe. Pad by 1 pixel border of zeros.
   const int W = w + 2, H = h + 2;
   std::vector<int> f(static_cast<size_t>(W) * H, 0);
@@ -48,8 +59,30 @@ int ocr_find_contours(const uint8_t* bitmap, int h, int w, int32_t* out_pts,
   int nbd = 1;
   int n_contours = 0;
   int n_points = 0;
+  long long traced = 0;
 
   auto at = [&](int x, int y) -> int& { return f[y * W + x]; };
+
+  // emit-or-rewind after a contour finishes tracing; returns false when
+  // the traced-index budget is exhausted
+  auto finish = [&](int contour_start) -> bool {
+    ++traced;
+    int minx = out_pts[2 * contour_start], maxx = minx;
+    int miny = out_pts[2 * contour_start + 1], maxy = miny;
+    for (int i = contour_start + 1; i < n_points; ++i) {
+      int px = out_pts[2 * i], py = out_pts[2 * i + 1];
+      if (px < minx) minx = px;
+      if (px > maxx) maxx = px;
+      if (py < miny) miny = py;
+      if (py > maxy) maxy = py;
+    }
+    double area = double(maxx - minx) * double(maxy - miny);
+    if (area >= min_bbox_area)
+      out_lens[n_contours++] = n_points - contour_start;
+    else
+      n_points = contour_start;  // rewind: filtered out
+    return traced < max_index;
+  };
 
   for (int y = 1; y <= h; ++y) {
     int lnbd = 1;
@@ -85,7 +118,7 @@ int ocr_find_contours(const uint8_t* bitmap, int h, int w, int32_t* out_pts,
         out_pts[2 * n_points + 1] = y - 1;
         ++n_points;
         at(x, y) = -nbd;
-        out_lens[n_contours++] = n_points - contour_start;
+        if (!finish(contour_start)) return n_contours;
         if (fv != 1) lnbd = fv < 0 ? -fv : fv;
         continue;
       }
@@ -145,12 +178,26 @@ int ocr_find_contours(const uint8_t* bitmap, int h, int w, int32_t* out_pts,
         cy = ny;
         if (n_points - contour_start > 4 * (h * w)) break;  // safety
       }
-      out_lens[n_contours++] = n_points - contour_start;
+      if (!finish(contour_start)) return n_contours;
       if (fv != 1) lnbd = fv < 0 ? -fv : fv;
       (void)lnbd;
     }
   }
   return n_contours;
+}
+
+int ocr_find_contours(const uint8_t* bitmap, int h, int w, int32_t* out_pts,
+                      int32_t* out_lens, int max_points, int max_contours) {
+  return trace_contours(bitmap, h, w, out_pts, out_lens, max_points,
+                        max_contours, -1.0, (1LL << 60));
+}
+
+int ocr_find_contours_filtered(const uint8_t* bitmap, int h, int w,
+                               int32_t* out_pts, int32_t* out_lens,
+                               int max_points, int max_contours,
+                               double min_bbox_area, long long max_index) {
+  return trace_contours(bitmap, h, w, out_pts, out_lens, max_points,
+                        max_contours, min_bbox_area, max_index);
 }
 
 // ------------------------------------------------------------ minAreaRect
