@@ -128,6 +128,20 @@ def main():
         box_counts.append(len(res[0]))
         if (i + 1) % 8 == 0:
             note("warmup serial %d/%d" % (i + 1, len(images)))
+    # Deterministically compile every det batch-ladder size: wave
+    # composition is timing-dependent, so replay alone can leave a ladder
+    # size to compile inside a timed round (a 20-60s spike).
+    det_b = model_pipe.text_detector._page_batcher
+    if det_b is not None and det_b.post is None:
+        cap = det_b.canvas[0] if det_b.canvas else 960
+        for n in (1, 2, 4, 8):
+            note("warmup det ladder %d" % n)
+            batch = {"pages": np.zeros((n, cap, cap, 3), np.uint8),
+                     "rhw": np.tile(np.array([[cap, cap]], np.int32),
+                                    (n, 1))}
+            out = det_b.batcher.fn(batch)
+            np.asarray(out[0] if isinstance(out, tuple) else out)
+
     note("warmup pipelined (full workload replay)")
     # Replay the EXACT timed workload once: cross-request coalescing makes
     # batch shapes load-dependent, so anything short of a replay leaves
