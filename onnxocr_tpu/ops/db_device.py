@@ -209,13 +209,39 @@ def _quad_mask_mean(prob, quads, in_valid):
     is inside iff an odd number of edge crossings lie strictly right of
     x). quads: (K, 4, 2) float. Uses an exclusive row cumsum so each
     row's contribution is one interval lookup."""
-    H, W = prob.shape
-    K = quads.shape[0]
     masked = jnp.where(in_valid, prob, 0.0)
     # exclusive cumsum along x: csum[y, i] = sum(prob[y, :i])
     csum = jnp.concatenate(
-        [jnp.zeros((H, 1), jnp.float32),
+        [jnp.zeros((prob.shape[0], 1), jnp.float32),
          jnp.cumsum(masked.astype(jnp.float32), axis=1)], axis=1)
+    return _quads_vs_csum(csum, quads)
+
+
+def quad_mask_mean_multi(probs, rhw, quads, img_idx):
+    """Multi-page scorer for cross-request batching: probs (B, H, W) with
+    per-page valid extents rhw (B, 2); quads (K, 4, 2) each belonging to
+    page img_idx (K,). Scores every quad against every page's csum
+    ((B, K) intermediate — cheap) then selects its own page's value, so
+    no (K, H, W) gather materializes."""
+    B, H, W = probs.shape
+    row = jnp.arange(H, dtype=jnp.int32)[None, :, None] < \
+        rhw[:, 0][:, None, None]
+    col = jnp.arange(W, dtype=jnp.int32)[None, None, :] < \
+        rhw[:, 1][:, None, None]
+    masked = jnp.where(row & col, probs, 0.0)
+    csum = jnp.concatenate(
+        [jnp.zeros((B, H, 1), jnp.float32),
+         jnp.cumsum(masked.astype(jnp.float32), axis=2)], axis=2)
+    per_page = jax.vmap(lambda c: _quads_vs_csum(c, quads))(csum)  # (B, K)
+    return per_page[img_idx, jnp.arange(quads.shape[0])]
+
+
+def _quads_vs_csum(csum, quads):
+    """(H, W+1) exclusive row cumsum + (K, 4, 2) quads → (K,) masked
+    means (shared core of _quad_mask_mean / quad_mask_mean_multi)."""
+    H = csum.shape[0]
+    W = csum.shape[1] - 1
+    K = quads.shape[0]
 
     # host scorer shifts vertices by the int bbox corner and truncates to
     # int32; reproduce that quantization

@@ -171,6 +171,62 @@ class FusedClsRec:
                   jnp.asarray(rec_mats_rot), jnp.asarray(rec_valid),
                   out_h, out_w)
 
+    def _build_multi_scored(self, use_cls: bool):
+        """Cross-request variant of _build_scored: crops AND candidate
+        scores from a batch of concurrent pages in one program. Each
+        quad scores against its own page's HBM-resident prob map
+        (ops/db_device.quad_mask_mean_multi)."""
+        from ..ops.db_device import quad_mask_mean_multi
+        cls_fn = self.cls_forward._native_fn if \
+            self.cls_forward is not None and \
+            self.cls_forward.backend == "native" else \
+            (self.cls_forward._graph_fn if self.cls_forward else None)
+        rec_fn = self.rec_forward._native_fn if \
+            self.rec_forward.backend == "native" else self.rec_forward._graph_fn
+
+        def step(images_u8, probs, rhw, img_idx, pre_quads, cls_mats,
+                 cls_valid, rec_mats, rec_mats_rot, rec_valid,
+                 out_h: int, out_w: int):
+            scores = quad_mask_mean_multi(probs, rhw, pre_quads, img_idx)
+            if use_cls:
+                cls_crops = warp_ops.warp_crops_multi(
+                    images_u8, img_idx, cls_mats, cls_valid,
+                    self.cls_h, self.cls_w, self.interp)
+                cls_probs = cls_fn(cls_crops)
+                rot = (jnp.argmax(cls_probs, axis=1) == self.idx180) & \
+                    (cls_probs[:, self.idx180] > self.cls_thresh)
+                mats = jnp.where(rot[:, None, None], rec_mats_rot, rec_mats)
+            else:
+                mats = rec_mats
+            crops = warp_ops.warp_crops_multi(images_u8, img_idx, mats,
+                                              rec_valid, out_h, out_w,
+                                              self.interp)
+            if self.rec_forward.masks_width:
+                idx, prob = rec_fn(crops, (rec_valid + 7) // 8)
+            else:
+                idx, prob = rec_fn(crops)
+            # packed (N, 2T+1) = [idx, prob, score] — one download
+            return jnp.concatenate(
+                [idx.astype(jnp.float32), prob.astype(jnp.float32),
+                 scores.astype(jnp.float32)[:, None]], axis=-1)
+
+        return jax.jit(step, static_argnames=("out_h", "out_w"))
+
+    def call_multi_scored(self, images_u8, probs, rhw, img_idx, pre_quads,
+                          cls_mats, cls_valid, rec_mats, rec_mats_rot,
+                          rec_valid, out_h: int, out_w: int,
+                          use_cls: bool = True):
+        key = ("multi_scored", use_cls)
+        fn = self._jit.get(key)
+        if fn is None:
+            fn = self._build_multi_scored(use_cls)
+            self._jit[key] = fn
+        return fn(jnp.asarray(images_u8), probs, jnp.asarray(rhw),
+                  jnp.asarray(img_idx), jnp.asarray(pre_quads),
+                  jnp.asarray(cls_mats), jnp.asarray(cls_valid),
+                  jnp.asarray(rec_mats), jnp.asarray(rec_mats_rot),
+                  jnp.asarray(rec_valid), out_h, out_w)
+
     def call_multi(self, images_u8, img_idx, cls_mats, cls_valid, rec_mats,
                    rec_mats_rot, rec_valid, out_h: int, out_w: int,
                    use_cls: bool = True):

@@ -300,13 +300,12 @@ class TextRecognizer:
         for bucket_w, indices in groups.items():
             for chunk in batching.chunks_of(indices, max_batch):
                 k = len(chunk)
-                bsz = batching.pick_batch_bucket(k, self.batch_ladder)
-                rec_mats = np.tile(eye, (bsz, 1, 1))
-                rot_mats = np.tile(eye, (bsz, 1, 1))
-                cls_mats = np.tile(eye, (bsz, 1, 1))
-                rec_valid = np.zeros(bsz, np.int32)
-                cls_valid = np.zeros(bsz, np.int32)
-                quads = np.zeros((bsz, 4, 2), np.float32)
+                rec_mats = np.tile(eye, (k, 1, 1))
+                rot_mats = np.tile(eye, (k, 1, 1))
+                cls_mats = np.tile(eye, (k, 1, 1))
+                rec_valid = np.zeros(k, np.int32)
+                cls_valid = np.zeros(k, np.int32)
+                quads = np.zeros((k, 4, 2), np.float32)
                 for row, i in enumerate(chunk):
                     rec_mats[row], rec_valid[row] = \
                         warp_ops.build_crop_matrix(boxes[i], imgH, bucket_w)
@@ -315,15 +314,43 @@ class TextRecognizer:
                     cls_mats[row], cls_valid[row] = \
                         warp_ops.build_crop_matrix(boxes[i], cls_h, cls_w)
                     quads[row] = pre_quads[i]
-                packed = np.asarray(fused.call_scored(
-                    image_u8_dev, prob_dev, rh, rw, quads, cls_mats,
-                    cls_valid, rec_mats, rot_mats, rec_valid, imgH,
-                    bucket_w, use_cls=use_cls))
-                T = (packed.shape[1] - 1) // 2
-                idx = packed[:k, :T].astype(np.int32)
-                prob = packed[:k, T:2 * T]
-                sc = packed[:k, 2 * T]
-                stride = bucket_w // idx.shape[1]
+                run_w = bucket_w
+                if self._crop_batcher is not None:
+                    # cross-request scored batching: chunks from
+                    # concurrent pages share one program; every quad
+                    # scores against its own page's resident prob map
+                    promote = bool(self.forward.masks_width and
+                                   bucket_w <= batching.COLLAPSE_CAP)
+                    idx, prob, sc, run_w = self._crop_batcher.submit(
+                        fused, image_u8_dev, cls_mats, cls_valid,
+                        rec_mats, rot_mats, rec_valid, imgH, bucket_w,
+                        use_cls, promote=promote, prob_dev=prob_dev,
+                        pre_quads=quads,
+                        rhw=np.array([rh, rw], np.int32))
+                    idx = np.asarray(idx).astype(np.int32)
+                    prob = np.asarray(prob)
+                    sc = np.asarray(sc)
+                else:
+                    bsz = batching.pick_batch_bucket(k, self.batch_ladder)
+                    if bsz > k:
+                        pad_m = np.tile(eye, (bsz - k, 1, 1))
+                        pad_v = np.zeros(bsz - k, np.int32)
+                        rec_mats = np.concatenate([rec_mats, pad_m])
+                        rot_mats = np.concatenate([rot_mats, pad_m])
+                        cls_mats = np.concatenate([cls_mats, pad_m])
+                        rec_valid = np.concatenate([rec_valid, pad_v])
+                        cls_valid = np.concatenate([cls_valid, pad_v])
+                        quads = np.concatenate(
+                            [quads, np.zeros((bsz - k, 4, 2), np.float32)])
+                    packed = np.asarray(fused.call_scored(
+                        image_u8_dev, prob_dev, rh, rw, quads, cls_mats,
+                        cls_valid, rec_mats, rot_mats, rec_valid, imgH,
+                        bucket_w, use_cls=use_cls))
+                    T = (packed.shape[1] - 1) // 2
+                    idx = packed[:k, :T].astype(np.int32)
+                    prob = packed[:k, T:2 * T]
+                    sc = packed[:k, 2 * T]
+                stride = run_w // idx.shape[1]
                 valid_t = [min(idx.shape[1], math.ceil(w / stride))
                            for w in rec_valid[:k]]
                 out = self.postprocess_op.decode_indices(

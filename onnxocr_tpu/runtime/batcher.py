@@ -331,15 +331,22 @@ class RecCropBatcher:
 
     def submit(self, fused, image_dev, cls_mats, cls_valid, rec_mats,
                rot_mats, rec_valid, out_h: int, bucket_w: int,
-               use_cls: bool, promote: bool = False):
-        """One page's crop chunk → (idx, prob) numpy arrays (k rows, where
-        k = len(cls_mats)). Blocks until the coalesced device call returns.
+               use_cls: bool, promote: bool = False, prob_dev=None,
+               pre_quads=None, rhw=None):
+        """One page's crop chunk → (idx, prob[, scores], run bucket)
+        (k rows, where k = len(cls_mats)). Blocks until the coalesced
+        device call returns.
 
         promote=True marks the chunk safe to run in ANY bucket ≥ bucket_w
         (width-masking rec forward + no compressed crops): promoted chunks
         coalesce across pages with different width buckets — the group runs
-        at the max — instead of fragmenting per bucket."""
-        work = _Work({
+        at the max — instead of fragmenting per bucket.
+
+        prob_dev/pre_quads/rhw (bitmap wire): the page's HBM-resident det
+        prob map, the chunk's pre-unclip candidate quads (map coords), and
+        the page's (rh, rw); the group then runs the scored program
+        (fused.call_multi_scored) and scores ride back per row."""
+        item = {
             "fused": fused, "image": image_dev,
             "cls_mats": np.asarray(cls_mats, np.float32),
             "cls_valid": np.asarray(cls_valid, np.int32),
@@ -347,7 +354,12 @@ class RecCropBatcher:
             "rot_mats": np.asarray(rot_mats, np.float32),
             "rec_valid": np.asarray(rec_valid, np.int32),
             "out_h": out_h, "bucket_w": bucket_w, "use_cls": use_cls,
-            "promote": promote})
+            "promote": promote}
+        if prob_dev is not None:
+            item["prob"] = prob_dev
+            item["pre_quads"] = np.asarray(pre_quads, np.float32)
+            item["rhw"] = np.asarray(rhw, np.int32)
+        work = _Work(item)
         self._q.put(work)
         work.event.wait()
         if work.error is not None:
@@ -377,7 +389,8 @@ class RecCropBatcher:
     def _group_key(item):
         return (tuple(item["image"].shape),
                 "*" if item.get("promote") else item["bucket_w"],
-                item["out_h"], item["use_cls"], id(item["fused"]))
+                item["out_h"], item["use_cls"], id(item["fused"]),
+                tuple(item["prob"].shape) if "prob" in item else None)
 
     def _run(self, batch: List[_Work]):
         groups: Dict[tuple, List[_Work]] = {}
@@ -447,19 +460,39 @@ class RecCropBatcher:
         for row, k in enumerate(sizes):
             img_idx[off:off + k] = row
             off += k
-        packed = np.asarray(fused.call_multi(
-            _stack_pages(images), img_idx,
-            pack("cls_mats", eye), pack("cls_valid"),
-            pack("rec_mats", eye), pack("rot_mats", eye),
-            pack("rec_valid"), out_h, bucket_w, use_cls=use_cls))
-        T = packed.shape[1] // 2
+        scored = "prob" in item0
+        if scored:
+            # bitmap wire: DB candidate scores ride in the same program
+            import jax.numpy as jnp
+            probs = jnp.stack([w.item["prob"] for w in works] +
+                              [works[0].item["prob"]] * (b_img - n_img))
+            rhw = np.stack([w.item["rhw"] for w in works] +
+                           [works[0].item["rhw"]] * (b_img - n_img))
+            packed = np.asarray(fused.call_multi_scored(
+                _stack_pages(images), probs, rhw, img_idx,
+                pack("pre_quads", np.zeros((4, 2), np.float32)),
+                pack("cls_mats", eye), pack("cls_valid"),
+                pack("rec_mats", eye), pack("rot_mats", eye),
+                pack("rec_valid"), out_h, bucket_w, use_cls=use_cls))
+            T = (packed.shape[1] - 1) // 2
+        else:
+            packed = np.asarray(fused.call_multi(
+                _stack_pages(images), img_idx,
+                pack("cls_mats", eye), pack("cls_valid"),
+                pack("rec_mats", eye), pack("rot_mats", eye),
+                pack("rec_valid"), out_h, bucket_w, use_cls=use_cls))
+            T = packed.shape[1] // 2
         idx = packed[:, :T].astype(np.int32)
-        prob = packed[:, T:]
+        prob = packed[:, T:2 * T]
         off = 0
         for w, k in zip(works, sizes):
             # run bucket rides along: promoted groups may have run wider
             # than the page's own bucket (decode stride = run_w // T)
-            w.result = (idx[off:off + k], prob[off:off + k], bucket_w)
+            if scored:
+                w.result = (idx[off:off + k], prob[off:off + k],
+                            packed[off:off + k, 2 * T], bucket_w)
+            else:
+                w.result = (idx[off:off + k], prob[off:off + k], bucket_w)
             off += k
             w.event.set()
 

@@ -243,3 +243,41 @@ def test_det_bits_batcher_e2e_parity(test_image):
         np.testing.assert_allclose(
             np.array([l[1][1] for l in out]),
             np.array([l[1][1] for l in ref]), atol=2e-3)
+
+
+def test_scored_rec_batcher_parity():
+    """Bitmap wire + rec microbatch: concurrent pages' scored cls+rec
+    calls coalesce (fused.call_multi_scored) and must match the serial
+    bitmap-wire pipeline (scores decide which boxes survive, so text
+    lists AND box sets must agree)."""
+    import concurrent.futures
+    from onnxocr_tpu import ONNXPaddleOcr
+    from onnxocr_tpu import config as cfg_mod
+    from onnxocr_tpu.train import synth
+
+    c2i = synth.charset_from_dict(
+        cfg_mod.find_asset("ppocrv5/ppocrv5_dict.txt"))
+    r = synth.TextRenderer(char_to_idx=c2i, seed=77)
+    pages = []
+    for seed_off in range(2):
+        page = np.full((640, 640, 3), 235, np.uint8)
+        y = 60
+        for n in (5, 9):
+            line = r.render_line(r.random_text(n), 36, 580)
+            lh, lw = line.shape[:2]
+            page[y:y + lh, 25:25 + lw] = line
+            y += lh + 150
+        pages.append(page)
+
+    plain = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0)
+    batched = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0,
+                            tpu_rec_microbatch=True,
+                            tpu_microbatch_wait_ms=50.0)
+    refs = [plain.ocr(p)[0] for p in pages]
+    with concurrent.futures.ThreadPoolExecutor(2) as pool:
+        outs = list(pool.map(lambda p: batched.ocr(p)[0], pages))
+    for ref, out in zip(refs, outs):
+        assert [l[1][0] for l in out] == [l[1][0] for l in ref]
+        rb = np.array([l[0] for l in ref], np.float64)
+        gb = np.array([l[0] for l in out], np.float64)
+        assert rb.shape == gb.shape and np.abs(rb - gb).max() <= 1.0
