@@ -128,9 +128,14 @@ class TextRenderer:
 
     def render_line(self, text: str, height: int = 48,
                     max_width: int = 320,
-                    font_key: Optional[Tuple[str, int]] = None) -> np.ndarray:
+                    font_key: Optional[Tuple[str, int]] = None,
+                    return_alpha: bool = False) -> np.ndarray:
         """Render one text line into a (height, w<=max_width, 3) BGR uint8
-        image with random colors/contrast/noise."""
+        image with random colors/contrast/noise.
+
+        return_alpha=True additionally returns the clean glyph coverage
+        (height, w) float in [0, 1] for compositing text onto arbitrary
+        backgrounds (det_page_hard)."""
         from PIL import Image, ImageDraw
         rng = self.rng
         if font_key is None:
@@ -156,6 +161,12 @@ class TextRenderer:
         d = ImageDraw.Draw(img)
         d.text((pad - bbox[0], pad - bbox[1]), text, fill=fg, font=font)
         arr = np.asarray(img, dtype=np.float32)
+        alpha = None
+        if return_alpha:
+            am = Image.new("L", (W, H), 0)
+            ImageDraw.Draw(am).text((pad - bbox[0], pad - bbox[1]), text,
+                                    fill=255, font=font)
+            alpha = np.asarray(am, dtype=np.float32) / 255.0
         # noise + slight blur-ish jitter
         arr = arr + rng.normal(0, rng.uniform(1, 8), arr.shape)
         arr = np.clip(arr, 0, 255).astype(np.uint8)
@@ -170,6 +181,9 @@ class TextRenderer:
         # random mild color cast
         cast = rng.uniform(0.85, 1.15, size=3)
         bgr = np.clip(bgr * cast, 0, 255).astype(np.uint8)
+        if return_alpha:
+            alpha = cv2.resize(alpha, (w, height))
+            return bgr, np.clip(alpha, 0.0, 1.0)
         return bgr
 
     def encode(self, text: str) -> List[int]:
@@ -285,13 +299,97 @@ class TextRenderer:
         mask = np.ones((size, size), np.float32)
         return page, shrink_map, mask
 
-    def det_batch(self, batch: int, size: int = 320):
+    # -------------------------------------------------- hard det pages
+    def det_page_hard(self, size: int = 320, max_lines: int = 8,
+                      shrink: float = 0.7
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Photo-ish det page: textured/gradient background, non-text
+        clutter shapes, ALPHA-composited text (no pasted rectangle — the
+        clean det_page teaches 'white box with marks = text', which does
+        not survive scene photos), then global contrast/blur/JPEG jitter.
+        Same shrink-map geometry as det_page."""
+        import cv2
+        rng = self.rng
+        # low-frequency colored background field
+        base = rng.uniform(40, 230, size=(4, 4, 3)).astype(np.float32)
+        page = cv2.resize(base, (size, size),
+                          interpolation=cv2.INTER_CUBIC)
+        page += rng.normal(0, rng.uniform(2, 10), page.shape)
+        page = np.clip(page, 0, 255)
+        # clutter: edges and blobs that must NOT be detected as text
+        for _ in range(int(rng.integers(0, 7))):
+            col = tuple(int(c) for c in rng.integers(0, 256, 3))
+            kind = rng.random()
+            p1 = (int(rng.integers(0, size)), int(rng.integers(0, size)))
+            p2 = (int(rng.integers(0, size)), int(rng.integers(0, size)))
+            pu8 = page.astype(np.uint8)
+            if kind < 0.4:
+                cv2.line(pu8, p1, p2, col, int(rng.integers(1, 5)))
+            elif kind < 0.7:
+                cv2.rectangle(pu8, p1, p2, col,
+                              int(rng.integers(1, 4)) if rng.random() < .7
+                              else -1)
+            else:
+                cv2.circle(pu8, p1, int(rng.integers(4, size // 4)), col,
+                           int(rng.integers(1, 4)))
+            page = pu8.astype(np.float32)
+        shrink_map = np.zeros((size, size), np.float32)
+        n_lines = int(rng.integers(2, max_lines + 1))
+        for _ in range(n_lines):
+            text, fkey = self.sample_line(12)
+            h = int(rng.integers(14, 40))
+            line, alpha = self.render_line(text, h, size - 8,
+                                           font_key=fkey,
+                                           return_alpha=True)
+            lh, lw = line.shape[:2]
+            for _try in range(10):
+                x0 = int(rng.integers(0, size - lw)) if size > lw else 0
+                y0 = int(rng.integers(0, size - lh)) if size > lh else 0
+                region = shrink_map[y0:y0 + lh, x0:x0 + lw]
+                if region.sum() == 0:
+                    # composite glyphs only; keep enough contrast vs bg
+                    bg_mean = page[y0:y0 + lh, x0:x0 + lw].mean()
+                    ink = rng.uniform(0, 90, 3) if bg_mean > 128 else \
+                        rng.uniform(165, 255, 3)
+                    a = alpha[..., None]
+                    page[y0:y0 + lh, x0:x0 + lw] = \
+                        page[y0:y0 + lh, x0:x0 + lw] * (1 - a) + ink * a
+                    d = (lw * lh) * shrink ** 2 / (2 * (lw + lh))
+                    di = max(1, int(d))
+                    sx0, sy0 = x0 + di, y0 + di
+                    sx1, sy1 = x0 + lw - di, y0 + lh - di
+                    if sx1 > sx0 and sy1 > sy0:
+                        shrink_map[sy0:sy1, sx0:sx1] = 1.0
+                    break
+        page = np.clip(page, 0, 255).astype(np.uint8)
+        # global photometric jitter
+        gain = rng.uniform(0.55, 1.15)
+        bias = rng.uniform(-25, 40)
+        page = np.clip(page.astype(np.float32) * gain + bias,
+                       0, 255).astype(np.uint8)
+        if rng.random() < 0.4:
+            k = int(rng.integers(1, 3)) * 2 + 1
+            page = cv2.GaussianBlur(page, (k, k), 0)
+        if rng.random() < 0.5:  # JPEG artifacts
+            q = int(rng.integers(35, 90))
+            ok, enc = cv2.imencode(".jpg", page,
+                                   [cv2.IMWRITE_JPEG_QUALITY, q])
+            if ok:
+                page = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+        mask = np.ones((size, size), np.float32)
+        return page, shrink_map, mask
+
+    def det_batch(self, batch: int, size: int = 320,
+                  hard_frac: float = 0.0):
         from ..ops import det_pre
         imgs = np.zeros((batch, size, size, 3), np.float32)
         maps = np.zeros((batch, size, size), np.float32)
         masks = np.zeros((batch, size, size), np.float32)
         for i in range(batch):
-            page, smap, mask = self.det_page(size)
+            if self.rng.random() < hard_frac:
+                page, smap, mask = self.det_page_hard(size)
+            else:
+                page, smap, mask = self.det_page(size)
             imgs[i] = (page.astype(np.float32) / 255.0 -
                        det_pre.IMAGENET_MEAN) / det_pre.IMAGENET_STD
             maps[i] = smap

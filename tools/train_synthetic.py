@@ -149,7 +149,8 @@ def _graft_matching(dst, src):
 
 
 def train_det(steps: int, batch: int, size: int, lr: float, out: str,
-              arch: str = "mbv3", seed: int = 0, init_from: str = ""):
+              arch: str = "mbv3", seed: int = 0, init_from: str = "",
+              hard_frac: float = 0.0):
     from onnxocr_tpu import config as cfg
     from onnxocr_tpu.train import synth, det_trainer
     from onnxocr_tpu.utils import params_io
@@ -179,7 +180,7 @@ def train_det(steps: int, batch: int, size: int, lr: float, out: str,
 
     def producer(r, n_items):
         for _ in range(n_items):
-            q.put(r.det_batch(half, size))
+            q.put(r.det_batch(half, size, hard_frac=hard_frac))
 
     # two half-batch producers; the consumer stitches pairs
     threading.Thread(target=producer, args=(renderer, steps),
@@ -228,6 +229,9 @@ if __name__ == "__main__":
                     help="full = every dict char the fonts can render")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-len", type=int, default=14)
+    ap.add_argument("--hard-frac", type=float, default=0.0,
+                    help="fraction of det pages drawn from the photo-ish "
+                         "hard renderer (textured bg, clutter, jitter)")
     args = ap.parse_args()
     if args.which == "rec":
         out = args.out or asset_dir("ppocrv5", "rec", "native_params.npz")
@@ -241,4 +245,4 @@ if __name__ == "__main__":
         out = args.out or asset_dir("ppocrv5", "det", "native_params.npz")
         train_det(args.steps, args.batch, args.size, args.lr, out,
                   arch=args.det_arch, seed=args.seed,
-                  init_from=args.init_from)
+                  init_from=args.init_from, hard_frac=args.hard_frac)
