@@ -79,13 +79,21 @@ def main():
     ap.add_argument("--model", default="PP-OCRv5")
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--det-dir", default="",
+                    help="override det_model_dir (evaluate a candidate "
+                         "det checkpoint: pass <dir>/det.onnx with "
+                         "native_params.npz beside it)")
     args = ap.parse_args()
 
     import cv2
-    from onnxocr_tpu.service import engine as engine_mod
-
-    em = engine_mod.EngineManager(concurrency=1)
-    model = em.get_model(args.model)
+    if args.det_dir:
+        from onnxocr_tpu import ONNXPaddleOcr
+        model = ONNXPaddleOcr(use_angle_cls=True, use_gpu=False,
+                              det_model_dir=args.det_dir)
+    else:
+        from onnxocr_tpu.service import engine as engine_mod
+        em = engine_mod.EngineManager(concurrency=1)
+        model = em.get_model(args.model)
 
     per_image = {}
     sims, exact, found, total = [], 0, 0, 0
