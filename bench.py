@@ -92,10 +92,13 @@ def main():
     common = dict(use_angle_cls=True, use_gpu=False, drop_score=0.0,
                   tpu_allow_untrained=not real_weights)
     model = ONNXPaddleOcr(**common)                       # library default
-    # serving configuration (matches the engine's defaults under
-    # concurrency: DET_BATCH + REC_BATCH cross-request coalescing)
-    model_pipe = ONNXPaddleOcr(tpu_det_microbatch=True,
-                               tpu_rec_microbatch=True, **common)
+    # serving configuration: cross-request det page batching (bits wire)
+    # + per-page scored cls+rec. Cross-request REC coalescing stays off
+    # here: its program shapes depend on wave composition (which pages
+    # land together), so timed rounds can hit un-warmed combos and a
+    # single mid-round XLA compile (~20-60 s) poisons the round; the
+    # per-page path's shapes are image-deterministic and fully warmed.
+    model_pipe = ONNXPaddleOcr(tpu_det_microbatch=True, **common)
 
     if not real_weights:
         from onnxocr_tpu.ops import det_pre
