@@ -183,6 +183,10 @@ def main():
     # reported value is the MEDIAN round — a robust estimate of the
     # pipeline's sustainable rate; every round is reported alongside.
     note("timed pipelined pass (%d rounds)" % ROUNDS)
+    # one untimed wash round: the first post-warmup round consistently
+    # pays residual costs (allocator growth, link re-establishment)
+    with concurrent.futures.ThreadPoolExecutor(PIPELINE_THREADS) as pool:
+        list(pool.map(model_pipe.ocr, images))
     round_ips = []
     for r in range(ROUNDS):
         t0 = time.perf_counter()
