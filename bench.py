@@ -46,7 +46,7 @@ for cand in ("onnxocr_tpu/test_images", "/root/reference/onnxocr/test_images"):
 
 BASELINE_IPS = 1.0 / 0.3  # reference CPU midpoint (BASELINE.md)
 PIPELINE_THREADS = int(os.environ.get("BENCH_THREADS", "8"))
-ROUNDS = int(os.environ.get("BENCH_ROUNDS", "7"))
+ROUNDS = int(os.environ.get("BENCH_ROUNDS", "9"))
 
 
 def synthetic_text_map(img, rh, rw):
