@@ -237,6 +237,16 @@ DEFAULTS = {
     # does at session construction; env ONNXOCR_TPU_ALLOW_UNTRAINED=1 also
     # enables it).
     "tpu_allow_untrained": False,
+    # Decode support for the NATIVE synthetic-trained recognizers:
+    # 'trained' restricts the CTC argmax to dictionary indices the trainer
+    # could actually render (the font-coverage charset) plus blank, by
+    # biasing the CTC head's unsupported logits to -1e30 at load — argmax
+    # can no longer pick glyphs the model never saw (round-2 held-out runs
+    # emitted emoji/arrows on real images), and confidences renormalize
+    # over the support. 'full' disables the mask (strict reference decode
+    # over the whole dictionary; graph-backend models are never masked —
+    # their weights know the full dictionary).
+    "tpu_decode_support": "trained",
 }
 
 

@@ -111,20 +111,47 @@ def _attn(x, blk, valid_t=None):
     return cm.linear(out, blk["proj"])
 
 
+def _mask_w(x, vw):
+    """Zero x (N, H, W, C) beyond each sample's valid width vw (N,).
+
+    BN turns the zero bucket padding into a nonzero per-channel constant;
+    each 3x3 conv then leaks a halo of it back across the valid boundary,
+    so without re-zeroing the features near the edge depend on the bucket
+    width (ADVICE r2: ~0.1 logit divergence within ~8px of the boundary).
+    Masking at token granularity (vw = valid_t * stride units) is exact:
+    the columns inside the minimal token-aligned bucket are computed from
+    identically-zero inputs in every bucket, so re-zeroing the rest makes
+    the forward bit-invariant to bucket choice. XLA fuses the where into
+    the producing conv's epilogue."""
+    cmask = (jnp.arange(x.shape[2], dtype=jnp.int32)[None, :]
+             < vw[:, None])[:, None, :, None]
+    return jnp.where(cmask, x, jnp.zeros((), x.dtype))
+
+
 def apply_features(params, x, valid_t=None) -> jnp.ndarray:
     """x: (N, 48, W, 3) → (N, W//8, D) pre-head sequence features.
 
-    valid_t (N,) optionally masks attention keys beyond each row's valid
-    token count (= ceil(resized_w / 8)): the conv stages are local, so
-    with the mask the valid-region features become exactly independent of
-    how much bucket padding follows — one wide bucket can serve crops of
+    valid_t (N,) optionally masks each row beyond its valid token count
+    (= ceil(resized_w / 8)) — attention keys AND every conv stage's width
+    axis (_mask_w) — so the valid-region features are exactly independent
+    of how much bucket padding follows: one wide bucket can serve crops of
     any narrower width with bit-identical results."""
     x = cm.conv_bn_act(x, params["stem"], stride=(2, 2), act="hswish")
+    if valid_t is not None:
+        x = _mask_w(x, valid_t * 4)          # width W/2: 4 cols per token
+    w_div = 2
     for (cout, s), st in zip(_STAGES, params["stages"]):
         x = cm.conv_bn_act(x, st["dw"], stride=s, groups=x.shape[-1],
                            act="hswish")
+        w_div *= s[1]
+        if valid_t is not None:
+            x = _mask_w(x, valid_t * (8 // w_div))
         x = cm.conv_bn_act(x, st["pw"], act="hswish")
+        if valid_t is not None:
+            x = _mask_w(x, valid_t * (8 // w_div))
     x = cm.conv_bn_act(x, params["neck"], act="hswish")
+    if valid_t is not None:
+        x = _mask_w(x, valid_t * (8 // w_div))
     # (N, 3, W/4, D) → avg over height, pool width /2 → (N, W/8, D)
     x = cm.avg_pool(x, (x.shape[1], 2), (x.shape[1], 2))
     x = x[:, 0]  # (N, T, D)

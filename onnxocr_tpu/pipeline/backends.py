@@ -387,6 +387,80 @@ class RecForward:
         return self._jit(crops)
 
 
+# ------------------------------------------------------------- decode support
+_SUPPORT_CACHE: Dict[str, Optional[np.ndarray]] = {}
+_SUPPORT_LOCK = threading.Lock()
+
+
+def trained_support(dict_path: str) -> Optional[np.ndarray]:
+    """Dictionary indices the synthetic trainer could emit for this dict:
+    blank (0) plus every single-char entry the bundled fonts can render
+    (train/synth.TextRenderer's coverage — exactly the label space the
+    native checkpoints were trained on). Prefers the committed sidecar
+    `<dict>.trained_support.json` (tools/make_support.py); falls back to
+    recomputing from font coverage. Returns None when support can't be
+    established (→ no masking)."""
+    key = os.path.abspath(dict_path)
+    with _SUPPORT_LOCK:
+        if key in _SUPPORT_CACHE:
+            return _SUPPORT_CACHE[key]
+    sup: Optional[np.ndarray] = None
+    # sidecar next to the dict, else the committed copy in the package's
+    # assets tree (the dict itself may live in the read-only reference
+    # snapshot, where no sidecar can be written)
+    candidates = [dict_path + ".trained_support.json"]
+    import glob as _glob
+    pkg_assets = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "assets")
+    candidates += _glob.glob(os.path.join(
+        pkg_assets, "**", os.path.basename(dict_path) +
+        ".trained_support.json"), recursive=True)
+    for sidecar in candidates:
+        if not os.path.exists(sidecar):
+            continue
+        import json
+        try:
+            with open(sidecar) as f:
+                sup = np.asarray(sorted(set(json.load(f)["indices"]) |
+                                        {0}), np.int64)
+            break
+        except (ValueError, KeyError, OSError):
+            sup = None
+    if sup is None:
+        try:
+            from ..train import synth
+            c2i = synth.charset_from_dict(dict_path, charset=None)
+            r = synth.TextRenderer(char_to_idx=c2i)
+            sup = np.asarray(sorted({0} | {c2i[c] for c in r.charset}),
+                             np.int64)
+        except Exception:
+            sup = None
+    with _SUPPORT_LOCK:
+        _SUPPORT_CACHE[key] = sup
+    return sup
+
+
+def apply_support_bias(params: dict, support: np.ndarray) -> dict:
+    """Mask untrained vocab indices by biasing the CTC head: b[v] -= 1e30
+    for v outside the support. argmax then never picks an untrained glyph,
+    and the softmax-derived confidence renormalizes over the support
+    (exp(-1e30 - max) underflows to exactly 0). Decode semantics
+    (rec_postprocess.py:58-86) are otherwise unchanged — this only shrinks
+    the effective dictionary to the trained one. Works identically for the
+    plain XLA head and the Pallas fused head (both read params['head'])."""
+    head = params.get("head")
+    if not isinstance(head, dict) or "b" not in head:
+        return params
+    b = np.asarray(head["b"], np.float32)
+    mask = np.full(b.shape, -1e30, np.float32)
+    sup = support[support < b.shape[0]]
+    mask[sup] = 0.0
+    out = dict(params)
+    out["head"] = dict(head)
+    out["head"]["b"] = (b + mask).astype(np.asarray(head["b"]).dtype)
+    return out
+
+
 # --------------------------------------------------------------------- zoo
 def _load_native_params(model_dir: str, kind: str = "", arch: str = ""):
     """Load trained native params from <model_dir>/native_params.npz; when a

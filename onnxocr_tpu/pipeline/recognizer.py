@@ -49,6 +49,14 @@ class TextRecognizer:
             vocab_size=len(self.postprocess_op.character), dtype=dtype,
             arch=arch,
             allow_untrained=getattr(args, "tpu_allow_untrained", False))
+        if backend == "native" and params is not None and \
+                getattr(args, "tpu_decode_support", "trained") == "trained":
+            # native checkpoints are synthetic-trained: restrict decode to
+            # the trained charset so argmax can't emit never-seen glyphs
+            # (backends.trained_support / apply_support_bias)
+            sup = backends.trained_support(args.rec_char_dict_path)
+            if sup is not None:
+                params = backends.apply_support_bias(params, sup)
         self.forward = backends.RecForward(backend, path, params, dtype)
         self.forward.arch = arch
         self._crop_batcher = None

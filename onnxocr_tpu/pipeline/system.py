@@ -272,12 +272,12 @@ class TextSystem:
                     raw, img.shape)
         elif self.text_detector._page_batcher is not None:
             # cross-request batched det: host reference-resize, shared
-            # device forward; the source uploads separately for the warps
+            # device forward; the source uploads separately for the warps.
+            # TextDetector.__call__ dispatches on the batcher's wire (maps
+            # vs bits) — tiny pages land here too, and the bits wire's
+            # submit() tuple must not be treated as a prob map.
             with timer.stage("det"):
-                prob, shape_info = \
-                    self.text_detector._page_batcher.submit(img)
-                dt_boxes = self.text_detector.boxes_from_prob(
-                    prob, shape_info, img.shape)
+                dt_boxes = self.text_detector(img)
         elif not tiny and \
                 getattr(self.args, "tpu_det_input", "device") == "device":
             # one upload: det resizes on device from the same HBM image the

@@ -281,3 +281,18 @@ def test_scored_rec_batcher_parity():
         rb = np.array([l[0] for l in ref], np.float64)
         gb = np.array([l[0] for l in out], np.float64)
         assert rb.shape == gb.shape and np.abs(rb - gb).max() <= 1.0
+
+
+def test_tiny_image_with_det_microbatch():
+    """Regression (ADVICE r2 high): tiny pages (h+w<64) fall through to the
+    page batcher's maps-wire handling in TextSystem; in the default bits
+    wire this crashed with a ValueError because submit() returned a
+    (bits, probs) tuple. Tiny pages must OCR cleanly (usually 0 boxes)."""
+    from onnxocr_tpu import ONNXPaddleOcr
+
+    m = ONNXPaddleOcr(use_angle_cls=True, tpu_det_microbatch=True)
+    assert m.text_detector._page_batcher.wire == "bits"
+    tiny = np.zeros((20, 20, 3), np.uint8)
+    res = m.ocr(tiny)
+    assert isinstance(res, list) and len(res) == 1
+    assert res[0] == [] or isinstance(res[0], list)

@@ -131,12 +131,22 @@ def test_svtr_width_mask_invariance():
 
     params = svtr.init(0, vocab_size=32)
     rng = np.random.default_rng(3)
-    crop = rng.standard_normal((1, 48, 160, 3)).astype(np.float32)
-    small = np.zeros((1, 48, 320, 3), np.float32)
-    big = np.zeros((1, 48, 640, 3), np.float32)
-    small[:, :, :160] = crop
-    big[:, :, :160] = crop
-    vt = np.array([20], np.int32)  # ceil(160/8)
-    out_s = np.asarray(svtr.apply(params, jnp.asarray(small), vt))
-    out_b = np.asarray(svtr.apply(params, jnp.asarray(big), vt))
-    np.testing.assert_allclose(out_s[:, :20], out_b[:, :20], atol=2e-4)
+    # valid widths include ones within the conv receptive field of the
+    # small bucket's edge (ADVICE r2: without conv-stage re-zeroing these
+    # diverged by ~0.1 logits between buckets)
+    for vw in (160, 313, 316, 320):
+        crop = rng.standard_normal((1, 48, vw, 3)).astype(np.float32)
+        small = np.zeros((1, 48, 320, 3), np.float32)
+        big = np.full((1, 48, 640, 3), 2.5, np.float32)  # garbage pad
+        small[:, :, :vw] = crop
+        big[:, :, :vw] = crop
+        # columns [vw, vt*8) inside the minimal token-aligned extent must
+        # agree between buckets (the warp defines them identically);
+        # replicate that here
+        vt = int(np.ceil(vw / 8))
+        big[:, :, vw:vt * 8] = 0.0
+        vt = np.array([vt], np.int32)
+        out_s = np.asarray(svtr.apply(params, jnp.asarray(small), vt))
+        out_b = np.asarray(svtr.apply(params, jnp.asarray(big), vt))
+        k = int(vt[0])
+        np.testing.assert_allclose(out_s[:, :k], out_b[:, :k], atol=2e-4)
