@@ -169,8 +169,11 @@ class DetForward:
                 return bits, prob
 
             self._jit_bits = jax.jit(fn)
-        return self._jit_bits(x_f32, jnp.asarray(valid_hw, jnp.int32),
-                              jnp.float32(thresh))
+        args = (x_f32, jnp.asarray(valid_hw, jnp.int32),
+                jnp.float32(thresh))
+        from ..utils.profiling import CAPTURE
+        CAPTURE.record("det_bits", self._jit_bits, args)
+        return self._jit_bits(*args)
 
     # --- engine-level page batching, fixed det bucket: N host-resized pages
     # → N prob maps in ONE device call. All pages share one canvas shape, so

@@ -165,11 +165,14 @@ class FusedClsRec:
         if fn is None:
             fn = self._build_scored(use_cls)
             self._jit[key] = fn
-        return fn(image_u8_dev, prob_dev, jnp.int32(r_h), jnp.int32(r_w),
-                  jnp.asarray(pre_quads), jnp.asarray(cls_mats),
-                  jnp.asarray(cls_valid), jnp.asarray(rec_mats),
-                  jnp.asarray(rec_mats_rot), jnp.asarray(rec_valid),
-                  out_h, out_w)
+        args = (image_u8_dev, prob_dev, jnp.int32(r_h), jnp.int32(r_w),
+                jnp.asarray(pre_quads), jnp.asarray(cls_mats),
+                jnp.asarray(cls_valid), jnp.asarray(rec_mats),
+                jnp.asarray(rec_mats_rot), jnp.asarray(rec_valid),
+                out_h, out_w)
+        from ..utils.profiling import CAPTURE
+        CAPTURE.record("fused_scored", fn, args)
+        return fn(*args)
 
     def _build_multi_scored(self, use_cls: bool):
         """Cross-request variant of _build_scored: crops AND candidate

@@ -129,6 +129,8 @@ class MicroBatcher:
 
                 stacked = jax.tree_util.tree_map(
                     stack, works[0].item, *[w.item for w in works[1:]])
+                from ..utils.profiling import CAPTURE
+                CAPTURE.record("det_pages_b%d" % bsz, self.fn, (stacked,))
                 out = self.fn(stacked)
                 out_np = self._to_host(out)
                 off = 0

@@ -68,6 +68,55 @@ class StageTimer:
 GLOBAL = StageTimer()
 
 
+class ProgramCapture:
+    """Record the last (compiled fn, example args) per named device program
+    so a bench can measure true device-busy time: replay the exact
+    programs back-to-back with device-resident inputs and divide.
+
+    Wall-clock stage timers can't separate chip time from the ~40 ms-RTT
+    tunnel; replaying the captured programs (dispatch is async, one block
+    at the end) measures what the chip itself does per image."""
+
+    def __init__(self):
+        self.enabled = False
+        self._lock = threading.Lock()
+        self._calls: Dict[str, tuple] = {}
+
+    def record(self, name: str, fn, args: tuple):
+        if not self.enabled:
+            return
+        with self._lock:
+            self._calls[name] = (fn, args)
+
+    def names(self):
+        with self._lock:
+            return sorted(self._calls)
+
+    def replay_ms(self, name: str, n: int = 5) -> Optional[float]:
+        """Mean per-call ms of n back-to-back executions of the captured
+        program with device-resident args (one block at the end)."""
+        with self._lock:
+            entry = self._calls.get(name)
+        if entry is None:
+            return None
+        import jax
+        fn, args = entry
+        args = tuple(
+            jax.tree_util.tree_map(
+                lambda a: jax.device_put(a) if hasattr(a, "shape") else a,
+                arg) for arg in args)
+        out = fn(*args)          # warm + ensure args resident
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n * 1000.0
+
+
+CAPTURE = ProgramCapture()
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/onnxocr_tpu_trace"):
     """Capture a jax.profiler device trace around a block."""
