@@ -101,7 +101,10 @@ def _find_contours(bitmap_u8: np.ndarray) -> List[np.ndarray]:
     """
     from ..runtime import native
     if native.available():
-        return native.find_contours(bitmap_u8)
+        try:
+            return native.find_contours(bitmap_u8)
+        except native.NativeOverflow:
+            pass  # pathological page: fall through to cv2
     import cv2
     outs = cv2.findContours(bitmap_u8, cv2.RETR_LIST,
                             cv2.CHAIN_APPROX_SIMPLE)
@@ -118,8 +121,11 @@ def _candidate_contours(bitmap_u8: np.ndarray, min_sq: float,
     geometry calls. Runs inside the C++ tracer when available."""
     from ..runtime import native
     if native.has_filtered_contours():
-        return native.find_contours_filtered(bitmap_u8, min_sq,
-                                             max_candidates)
+        try:
+            return native.find_contours_filtered(bitmap_u8, min_sq,
+                                                 max_candidates)
+        except native.NativeOverflow:
+            pass  # pathological page: fall through to the generic path
     return [c for c in _find_contours(bitmap_u8)[:max_candidates]
             if float(np.ptp(c[:, 0])) * float(np.ptp(c[:, 1])) >= min_sq]
 

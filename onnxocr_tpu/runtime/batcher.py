@@ -314,6 +314,15 @@ class RecCropBatcher:
     (same buffer, no transfer) instead of shipping zero canvases.
     """
 
+    #: run widths a promoted multi-page group may execute at. Coalesced
+    #: groups quantize their width onto this tiny set (exact for
+    #: width-masking forwards) so, together with the fixed coalesce batch
+    #: size, EVERY cross-request program shape is known ahead of load —
+    #: warmable via warm_canonical(), no wave-composition-dependent
+    #: compiles mid-traffic (round-2 lesson: load-dependent shapes made
+    #: the batcher unsafe to enable where it mattered).
+    COALESCE_WIDTHS = (640, 960)
+
     def __init__(self, max_wait_ms: float = 4.0,
                  batch_ladder: Sequence[int] = (1, 2, 4, 8, 16, 32, 64),
                  img_ladder: Sequence[int] = (1, 2, 4)):
@@ -368,6 +377,44 @@ class RecCropBatcher:
             raise work.error
         return work.result
 
+    def warm_canonical(self, fused, image_shape, out_h: int,
+                       use_cls: bool = True, prob_shape=None,
+                       should_stop=None) -> List[str]:
+        """Compile every canonical coalesced program for one source bucket:
+        (b_img in img_ladder[1:]) x (width in COALESCE_WIDTHS) at the fixed
+        coalesce batch size. With these warmed (plus the per-page shapes
+        serial traffic compiles), the batcher can never hit a compile under
+        load — the round-2 blocker for enabling it in the serving config.
+        should_stop() -> bool lets a budgeted caller bail early."""
+        import jax
+        import jax.numpy as jnp
+        bsz = self.batch_ladder[-1]
+        eye = np.tile(np.eye(3, dtype=np.float32), (bsz, 1, 1))
+        valid = np.zeros(bsz, np.int32)
+        img_idx = np.zeros(bsz, np.int32)
+        quads = np.zeros((bsz, 4, 2), np.float32)
+        warmed = []
+        for b_img in [b for b in self.img_ladder if b >= 2]:
+            images = jnp.zeros((b_img,) + tuple(image_shape), jnp.uint8)
+            if prob_shape is not None:
+                probs = jnp.zeros((b_img,) + tuple(prob_shape), jnp.float32)
+                rhw = np.tile(np.array([list(prob_shape)], np.int32),
+                              (b_img, 1))
+            for cw in self.COALESCE_WIDTHS:
+                if should_stop is not None and should_stop():
+                    return warmed
+                if prob_shape is not None:
+                    out = fused.call_multi_scored(
+                        images, probs, rhw, img_idx, quads, eye, valid,
+                        eye, eye, valid, out_h, cw, use_cls=use_cls)
+                else:
+                    out = fused.call_multi(
+                        images, img_idx, eye, valid, eye, eye, valid,
+                        out_h, cw, use_cls=use_cls)
+                jax.block_until_ready(out)
+                warmed.append("i%d_w%d" % (b_img, cw))
+        return warmed
+
     def _loop(self):
         while not self._stop:
             work = self._q.get()
@@ -400,6 +447,20 @@ class RecCropBatcher:
             groups.setdefault(self._group_key(w.item), []).append(w)
         max_n = self.batch_ladder[-1]
         for _key, works in groups.items():
+            if _key[1] != "*" and len(works) > 1:
+                # non-promoted chunks (wide crops / non-width-masking
+                # forwards) never coalesce: a multi-page run here would
+                # compile an ad-hoc (b_img, bsz, bucket_w) shape the warmup
+                # can't predict. Solo runs reuse the serially-warmed
+                # per-page programs instead.
+                for w in works:
+                    try:
+                        self._run_group([w])
+                    except BaseException as e:
+                        if not w.event.is_set():
+                            w.error = e
+                            w.event.set()
+                continue
             # greedy-pack so a coalesced group never exceeds the batch
             # ladder (no ad-hoc compile shapes)
             packs: List[List[_Work]] = []
@@ -427,8 +488,6 @@ class RecCropBatcher:
         item0 = works[0].item
         fused = item0["fused"]
         out_h = item0["out_h"]
-        # promoted groups mix width buckets; run at the widest (exact for
-        # width-masking forwards — see submit())
         bucket_w = max(w.item["bucket_w"] for w in works)
         use_cls = item0["use_cls"]
         sizes = [len(w.item["cls_mats"]) for w in works]
@@ -438,8 +497,18 @@ class RecCropBatcher:
                      self.img_ladder[-1])
         if b_img < n_img:
             b_img = n_img
-        bsz = next((b for b in self.batch_ladder if n <= b),
-                   self.batch_ladder[-1])
+        if n_img >= 2:
+            # canonical coalesce shapes: fixed max batch + a width from
+            # COALESCE_WIDTHS, so a multi-page program's shape depends only
+            # on (src bucket, b_img, width tier) — never on how many crops
+            # each page happened to bring. Exact for the width-masking
+            # forwards that promotion requires (models/svtr mask re-zeroing).
+            bucket_w = next((cw for cw in self.COALESCE_WIDTHS
+                             if bucket_w <= cw), bucket_w)
+            bsz = self.batch_ladder[-1]
+        else:
+            bsz = next((b for b in self.batch_ladder if n <= b),
+                       self.batch_ladder[-1])
         if bsz < n:
             bsz = n
         images = [w.item["image"] for w in works]
@@ -463,6 +532,11 @@ class RecCropBatcher:
             img_idx[off:off + k] = row
             off += k
         scored = "prob" in item0
+        from ..utils.profiling import CAPTURE
+        # b_img=1 runs ARE this config's per-image fused program — capture
+        # under the name the bench's device-busy attribution looks for
+        cap_name = "fused_scored" if (b_img == 1 and scored) else \
+            "rec_multi%s_i%d" % ("_scored" if scored else "", b_img)
         if scored:
             # bitmap wire: DB candidate scores ride in the same program
             import jax.numpy as jnp
@@ -470,19 +544,28 @@ class RecCropBatcher:
                               [works[0].item["prob"]] * (b_img - n_img))
             rhw = np.stack([w.item["rhw"] for w in works] +
                            [works[0].item["rhw"]] * (b_img - n_img))
+            args = (_stack_pages(images), probs, rhw, img_idx,
+                    pack("pre_quads", np.zeros((4, 2), np.float32)),
+                    pack("cls_mats", eye), pack("cls_valid"),
+                    pack("rec_mats", eye), pack("rot_mats", eye),
+                    pack("rec_valid"), out_h, bucket_w)
+            CAPTURE.record(
+                cap_name,
+                lambda *a, _f=fused, _u=use_cls:
+                    _f.call_multi_scored(*a, use_cls=_u), args)
             packed = np.asarray(fused.call_multi_scored(
-                _stack_pages(images), probs, rhw, img_idx,
-                pack("pre_quads", np.zeros((4, 2), np.float32)),
-                pack("cls_mats", eye), pack("cls_valid"),
-                pack("rec_mats", eye), pack("rot_mats", eye),
-                pack("rec_valid"), out_h, bucket_w, use_cls=use_cls))
+                *args, use_cls=use_cls))
             T = (packed.shape[1] - 1) // 2
         else:
-            packed = np.asarray(fused.call_multi(
-                _stack_pages(images), img_idx,
-                pack("cls_mats", eye), pack("cls_valid"),
-                pack("rec_mats", eye), pack("rot_mats", eye),
-                pack("rec_valid"), out_h, bucket_w, use_cls=use_cls))
+            args = (_stack_pages(images), img_idx,
+                    pack("cls_mats", eye), pack("cls_valid"),
+                    pack("rec_mats", eye), pack("rot_mats", eye),
+                    pack("rec_valid"), out_h, bucket_w)
+            CAPTURE.record(
+                cap_name,
+                lambda *a, _f=fused, _u=use_cls:
+                    _f.call_multi(*a, use_cls=_u), args)
+            packed = np.asarray(fused.call_multi(*args, use_cls=use_cls))
             T = packed.shape[1] // 2
         idx = packed[:, :T].astype(np.int32)
         prob = packed[:, T:2 * T]

@@ -107,19 +107,13 @@ def available() -> bool:
     return _load() is not None
 
 
-def find_contours(bitmap_u8: np.ndarray) -> List[np.ndarray]:
-    lib = _load()
-    h, w = bitmap_u8.shape
-    bitmap_u8 = np.ascontiguousarray(bitmap_u8)
-    max_points = h * w + 4
-    max_contours = 4096
-    pts = np.empty((max_points, 2), dtype=np.int32)
-    lens = np.empty(max_contours, dtype=np.int32)
-    n = lib.ocr_find_contours(
-        bitmap_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
-        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        max_points, max_contours)
+class NativeOverflow(RuntimeError):
+    """The C++ tracer's output buffers overflowed even after retrying with
+    the worst-case size — callers should fall back to the Python path."""
+
+
+def _unpack_contours(n: int, pts: np.ndarray,
+                     lens: np.ndarray) -> List[np.ndarray]:
     out = []
     off = 0
     for i in range(n):
@@ -127,6 +121,40 @@ def find_contours(bitmap_u8: np.ndarray) -> List[np.ndarray]:
         out.append(pts[off:off + k].copy())
         off += k
     return out
+
+
+def _trace(call, h: int, w: int) -> List[np.ndarray]:
+    """Run a tracer entry point, retrying once with worst-case buffers.
+
+    trace_contours returns -1 when out_pts/out_lens overflow. h*w+4 points
+    is usually plenty but IS reachable (a 1 px-wide stroke emits its border
+    pixels twice), and silently treating -1 as "no contours" made such
+    pages detect nothing. Retry with the true worst case — each pixel's
+    border point can be emitted at most 4 times (once per Moore-trace
+    direction) — then raise NativeOverflow so the caller can fall back."""
+    for mult, max_contours in ((1, 8192), (4, 1 << 20)):
+        max_points = mult * h * w + 8
+        pts = np.empty((max_points, 2), dtype=np.int32)
+        lens = np.empty(max_contours, dtype=np.int32)
+        n = call(pts, lens, max_points, max_contours)
+        if n >= 0:
+            return _unpack_contours(n, pts, lens)
+    raise NativeOverflow("contour buffers overflowed (h=%d w=%d)" % (h, w))
+
+
+def find_contours(bitmap_u8: np.ndarray) -> List[np.ndarray]:
+    lib = _load()
+    h, w = bitmap_u8.shape
+    bitmap_u8 = np.ascontiguousarray(bitmap_u8)
+
+    def call(pts, lens, max_points, max_contours):
+        return lib.ocr_find_contours(
+            bitmap_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_points, max_contours)
+
+    return _trace(call, h, w)
 
 
 def has_filtered_contours() -> bool:
@@ -143,22 +171,15 @@ def find_contours_filtered(bitmap_u8: np.ndarray, min_bbox_area: float,
     lib = _load()
     h, w = bitmap_u8.shape
     bitmap_u8 = np.ascontiguousarray(bitmap_u8)
-    max_points = h * w + 4
-    max_contours = 8192
-    pts = np.empty((max_points, 2), dtype=np.int32)
-    lens = np.empty(max_contours, dtype=np.int32)
-    n = lib.ocr_find_contours_filtered(
-        bitmap_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
-        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        max_points, max_contours, float(min_bbox_area), int(max_index))
-    out = []
-    off = 0
-    for i in range(n):
-        k = lens[i]
-        out.append(pts[off:off + k].copy())
-        off += k
-    return out
+
+    def call(pts, lens, max_points, max_contours):
+        return lib.ocr_find_contours_filtered(
+            bitmap_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_points, max_contours, float(min_bbox_area), int(max_index))
+
+    return _trace(call, h, w)
 
 
 def min_area_rect(points: np.ndarray):

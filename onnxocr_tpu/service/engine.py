@@ -168,9 +168,42 @@ class EngineManager:
             test_img = np.zeros((64, 64, 3), dtype=np.uint8)
             model = self.get_model(self.default_model)
             model.ocr(test_img)
+            self._warm_rec_coalesce(model)
             self._ready = True
         except Exception:
             self._ready = False
+
+    @staticmethod
+    def _warm_rec_coalesce(model):
+        """Pre-compile the canonical cross-request rec programs so the
+        first concurrent burst never stalls on XLA. The coalesced shape
+        set is deterministic (RecCropBatcher.COALESCE_WIDTHS x {2,4} pages
+        x max batch) per source bucket; buckets to warm come from
+        WARMUP_SRC_BUCKETS ("512x768,1024x768" — HxW, rounded up to the
+        256 source granularity). Failures are non-fatal: the persistent
+        XLA compile cache makes cold hits a one-time cost anyway."""
+        import os
+        spec = os.environ.get("WARMUP_SRC_BUCKETS", "")
+        if not spec:
+            return
+        rec = getattr(model, "text_recognizer", None)
+        batcher = getattr(rec, "_crop_batcher", None)
+        fused = getattr(model, "_fused", None)
+        if batcher is None or fused is None:
+            return
+        det_b = getattr(model.text_detector, "_page_batcher", None)
+        prob_shape = det_b.canvas if (det_b is not None and
+                                      det_b.wire == "bits") else None
+        from ..ops import det_pre
+        for part in spec.split(","):
+            try:
+                h, w = (int(x) for x in part.lower().split("x"))
+            except ValueError:
+                continue
+            sb = (det_pre.round_up(h, 256), det_pre.round_up(w, 256), 3)
+            batcher.warm_canonical(
+                fused, sb, rec.rec_image_shape[1],
+                use_cls=bool(model.use_angle_cls), prob_shape=prob_shape)
 
     @property
     def ready(self) -> bool:

@@ -296,3 +296,74 @@ def test_tiny_image_with_det_microbatch():
     res = m.ocr(tiny)
     assert isinstance(res, list) and len(res) == 1
     assert res[0] == [] or isinstance(res[0], list)
+
+
+def test_rec_batcher_canonical_shapes():
+    """Deterministic cross-request shapes: a coalesced (multi-page) group
+    must run at the canonical program shape — fixed max crop batch, run
+    width drawn from COALESCE_WIDTHS — never at a wave-composition-
+    dependent shape (the round-2 blocker for enabling the batcher in the
+    serving config)."""
+    import jax.numpy as jnp
+    from onnxocr_tpu import ONNXPaddleOcr
+    from onnxocr_tpu.runtime.batcher import RecCropBatcher
+
+    m = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0,
+                      tpu_rec_microbatch=True,
+                      tpu_microbatch_wait_ms=5000.0)
+    rec = m.text_recognizer
+    if not rec.forward.masks_width:
+        return  # promotion (and thus coalescing) needs a masking forward
+    fused = m._fused
+    calls = []
+    orig = fused.call_multi_scored
+
+    def spy(images, probs, rhw, img_idx, quads, *rest, **kw):
+        calls.append((int(images.shape[0]), int(quads.shape[0]), rest[-1]))
+        return orig(images, probs, rhw, img_idx, quads, *rest, **kw)
+
+    fused.call_multi_scored = spy
+    page = jnp.asarray(np.full((256, 256, 3), 230, np.uint8))
+    prob = jnp.zeros((320, 320), np.float32)
+    boxes = np.array([[[10, 10], [120, 10], [120, 40], [10, 40]],
+                      [[10, 60], [200, 60], [200, 100], [10, 100]]],
+                     np.float32)
+    outs = []
+
+    def worker():
+        outs.append(rec.run_candidates_scored(
+            page, prob, 320, 320, boxes, boxes.copy(), fused,
+            (48, 192), use_cls=True))
+
+    threads = [threading.Thread(target=worker) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(outs) == 2
+    multi = [c for c in calls if c[0] >= 2]
+    assert multi, "two simultaneous pages should coalesce"
+    for b_img, bsz, out_w in multi:
+        assert bsz == rec.batch_ladder[-1]
+        assert out_w in RecCropBatcher.COALESCE_WIDTHS
+
+
+def test_rec_batcher_warm_canonical():
+    """warm_canonical compiles the full coalesced-program set for one
+    source bucket without error and reports what it warmed."""
+    from onnxocr_tpu import ONNXPaddleOcr
+
+    m = ONNXPaddleOcr(use_angle_cls=True, tpu_rec_microbatch=True)
+    rb = m.text_recognizer._crop_batcher
+    # shrink the canonical set for CPU test cost; the enumeration logic is
+    # identical at the default (640, 960) x (2, 4) x 64 shapes
+    rb.COALESCE_WIDTHS = (320,)
+    rb.img_ladder = (1, 2)
+    rb.batch_ladder = (1, 2, 4, 8)
+    warmed = rb.warm_canonical(m._fused, (256, 256, 3), 48,
+                               use_cls=True, prob_shape=(320, 320))
+    assert warmed == ["i2_w320"]
+    stopped = rb.warm_canonical(m._fused, (256, 256, 3), 48,
+                                use_cls=True, prob_shape=(320, 320),
+                                should_stop=lambda: True)
+    assert stopped == []

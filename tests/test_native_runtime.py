@@ -109,3 +109,38 @@ def test_native_box_score_matches_numpy():
         ref = float((region * mask).sum() / denom) if denom else 0.0
         got = native.box_score(prob, quad)
         assert abs(got - ref) < 1e-6, (got, ref)
+
+
+def test_contour_buffer_overflow_retries():
+    """Regression (ADVICE r3 low): 1 px-wide strokes emit border pixels
+    twice, overflowing the h*w-sized point buffer; the tracer returned -1
+    and the page silently detected nothing. The wrapper must retry with
+    the worst-case buffer and still return every contour."""
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    h, w = 64, 64
+    # 8-connected checkerboard: ~8k emitted points on a 64x64 page (> the
+    # h*w+8 first-try buffer), so this exercises the retry for real
+    bitmap = (np.indices((h, w)).sum(0) % 2 == 0).astype(np.uint8)
+    contours = native.find_contours(bitmap)
+    total_pts = sum(len(c) for c in contours)
+    assert total_pts > h * w + 8  # proves the retry path engaged
+    assert len(contours) > 1000  # outer border + per-cell holes
+    filtered = native.find_contours_filtered(bitmap, 0.0, 10 ** 9)
+    assert sum(len(c) for c in filtered) == total_pts
+
+    # deterministic unit check of the retry/raise ladder
+    calls = []
+
+    def fake(pts, lens, max_points, max_contours):
+        calls.append(max_points)
+        if max_points < 4 * 100 + 8:
+            return -1
+        lens[0] = 1
+        pts[0] = (3, 4)
+        return 1
+
+    out = native._trace(fake, 10, 10)
+    assert len(calls) == 2 and len(out) == 1 and out[0].tolist() == [[3, 4]]
+    with pytest.raises(native.NativeOverflow):
+        native._trace(lambda *a: -1, 10, 10)

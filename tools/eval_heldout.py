@@ -52,6 +52,94 @@ GROUND_TRUTH = {
         "Hang Zhou Dong",
         "Shang Hai Hong Qiao",
     ],
+    # boarding pass (printed, latin + digits)
+    "00006737.jpg": [
+        "BOARDING PASS",
+        "MU 2379",
+        "03DEC",
+        "035",
+        "FUZHOU",
+        "TAIYUAN",
+        "ZHANGQIWEI",
+        "G11",
+        "ETKT 7813699238489/1",
+        "GATES CLOSE 10 MINUTES BEFORE DEPARTURE TIME",
+    ],
+    # clothing care label
+    "00009282.jpg": [
+        "Meters/bonwe",
+    ],
+    # shareholder table (digit cells)
+    "00015504.jpg": [
+        "75,103",
+        "Hong Leong Bank",
+        "Berhad",
+        "652,418,000",
+        "18.0613%",
+        "650,000,000",
+        "17.9943%",
+        "240,000,000",
+        "6.6441%",
+        "180,600,242",
+        "4.9997%",
+        "160,000,000",
+        "4.4294%",
+        "124,194,000",
+        "3.4381%",
+        "120,000,000",
+        "3.3220%",
+        "80,000,000",
+        "2.2147%",
+        "71,243,800",
+        "1.9723%",
+        "71,154,900",
+        "1.9698%",
+        "50,000,000",
+    ],
+    # lab-report table (clean scan: codes, values, ranges, units)
+    "00018069.jpg": [
+        "ALT", "TBIL", "DBIL", "IBIL", "ALB", "GLO", "A/G", "ALP",
+        "GGT", "AST", "LDH", "ADA",
+        "25.6", "11.2", "3.3", "7.9", "35.1", "23.8", "93",
+        "14.3", "16.3", "167", "12.6",
+        "0--40", "0--7", "60--80", "33--55", "20--30", "15--112",
+        "8--40", "114--240", "4--24",
+        "U/L", "umol/L", "g/L", "IU/L",
+    ],
+    # photographed lab report (tilted scene photo: the det-generalization
+    # probe alongside french_0)
+    "00057937.jpg": [
+        "FT3", "FT4", "STSH", "TGAB", "TRAb", "TPOAb",
+        "3.12", "15.40", "1.31", "0.15", "0.17",
+        "E05535540",
+        "10080603139",
+        "10-08-06 11:23",
+        "10-08-06 11:44",
+        "10-08-07 11:28",
+    ],
+    # math worksheet (formula lines with x signs)
+    "00059985.jpg": [
+        "0.8×25=",
+        "0×4.23=",
+        "0.57+0.43=",
+        "2.4×0.2=",
+        "2.8×10=",
+        "8.29×100=",
+        "2.5×0.4=",
+        "4.87-1.7=",
+        "2.97×3.8=",
+        "7.05×0.84=",
+    ],
+    # photographed bank slip
+    "00111002.jpg": [
+        "120214020408",
+        "60128018",
+        "001",
+        "2012-10-23",
+        "12:43:15",
+        "000016",
+        "(CARDHOLDER SIGNATURE):",
+    ],
 }
 
 

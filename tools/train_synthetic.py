@@ -105,8 +105,14 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
         if step % 50 == 0 or step == steps - 1:
             print(f"rec step {step} loss {float(loss):.4f} "
                   f"({time.time()-t0:.1f}s)", flush=True)
-        if step and step % 1000 == 0:
-            params_io.save_tree(out, params)  # periodic checkpoint
+        if step and step % 150 == 0:
+            # frequent periodic checkpoints: host RSS grows slowly but
+            # steadily on the tunneled backend (deferred frees in the
+            # remote client), so long jobs can die by OOM — losing at most
+            # 150 steps keeps every run salvageable
+            params_io.save_tree(out, params)
+            import gc
+            gc.collect()
     params_io.save_tree(out, params)
     print("saved", out)
 
@@ -199,8 +205,10 @@ def train_det(steps: int, batch: int, size: int, lr: float, out: str,
         if step % 25 == 0 or step == steps - 1:
             print(f"det step {step} loss {float(loss):.4f} "
                   f"({time.time()-t0:.1f}s)", flush=True)
-        if step and step % 500 == 0:
-            params_io.save_tree(out, params)  # periodic checkpoint
+        if step and step % 150 == 0:
+            params_io.save_tree(out, params)  # periodic checkpoint (see
+            import gc                         # rec loop note on host RSS)
+            gc.collect()
     params_io.save_tree(out, params)
     print("saved", out)
 
