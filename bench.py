@@ -160,6 +160,22 @@ def main():
 
     threading.Thread(target=watchdog, daemon=True).start()
 
+    # The tunneled TPU charges a one-time multi-minute stall on the FIRST
+    # device→host download of a process (measured: 69-208 s,
+    # scratch/probe_dl2). Absorb it on a side thread so it overlaps model
+    # init + the first compiles instead of serializing in front of them.
+    def _absorb_first_download():
+        try:
+            import jax
+            t0 = time.monotonic()
+            np.asarray(jax.device_put(np.ones(128, np.uint8)))
+            note("first-download stall absorbed (%.1fs)"
+                 % (time.monotonic() - t0))
+        except Exception as e:  # pragma: no cover - diagnostics only
+            note("first-download absorber failed: %r" % e)
+
+    threading.Thread(target=_absorb_first_download, daemon=True).start()
+
     if IMAGES_DIR is None:
         print(json.dumps({"metric": "e2e_images_per_sec", "value": 0.0,
                           "unit": "images/sec/chip", "vs_baseline": 0.0,
@@ -169,6 +185,19 @@ def main():
     paths = sorted(glob.glob(os.path.join(IMAGES_DIR, "*.jpg")) +
                    glob.glob(os.path.join(IMAGES_DIR, "*.png")))
     images = [im for im in (cv2.imread(p) for p in paths) if im is not None]
+
+    # Warm in source-bucket clusters, biggest cluster first: every distinct
+    # source bucket costs its own fused-program compile/load, so if the
+    # warmup deadline trims the corpus, the warmed prefix should cover the
+    # fewest programs serving the most images.
+    from onnxocr_tpu.ops import det_pre as _dp
+    buckets = {}
+    for im in images:
+        key = (_dp.round_up(im.shape[0], 256), _dp.round_up(im.shape[1], 256))
+        buckets.setdefault(key, []).append(im)
+    images = [im for _, grp in sorted(buckets.items(),
+                                      key=lambda kv: -len(kv[1]))
+              for im in grp]
 
     real_weights = _has_weights(cfg.DEFAULTS["det_model_dir"]) and \
         _has_weights(cfg.DEFAULTS["rec_model_dir"])

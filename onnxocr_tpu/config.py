@@ -152,9 +152,16 @@ DEFAULTS = {
     # shape compiles exactly once (XLA static-shape discipline).
     "tpu_det_bucket": 320,
     # Recognizer width ladder; crops route to the smallest bucket that fits.
-    "tpu_rec_width_buckets": (320, 480, 640, 800, 960, 1280),
+    # Deliberately COARSE: on the tunneled TPU every distinct compiled
+    # program costs a multi-second compile/load once per process, while the
+    # padding FLOPs a coarser bucket wastes cost microseconds (det forward
+    # ~4 ms on-chip). Width masking (models/svtr) makes valid-region
+    # outputs bucket-invariant, so coarse buckets are exact, not
+    # approximate.
+    "tpu_rec_width_buckets": (640, 960, 1280),
     # Batch-size ladder for rec/cls calls (pad batch up to one of these).
-    "tpu_batch_buckets": (1, 2, 4, 8, 16, 32, 64),
+    # Same economy: 3 sizes, not 7 — padded rows are discarded on host.
+    "tpu_batch_buckets": (4, 16, 64),
     # 'device' warps crops on TPU via the homography gather kernel;
     # 'host' uses cv2.warpPerspective like the reference.
     "tpu_crop_backend": "device",

@@ -52,7 +52,38 @@ class _JitCache:
         return fn
 
 
-class DetForward:
+class _ParamsAsArgs:
+    """Mixin: device-resident params passed as jit ARGUMENTS.
+
+    Closing a jit over the weight pytree embeds every tensor as an HLO
+    constant: each compiled program carries its own ~10-45 MB copy of the
+    weights, XLA constant-folds over them (minutes-long compiles per shape
+    bucket), and every program load re-ships them to the device. Passing
+    the pytree as a traced argument keeps ONE HBM-resident copy shared by
+    every shape bucket and shrinks program binaries to kilobytes — the
+    TPU-serving analogue of the reference keeping one onnxruntime session
+    for all input shapes (onnxocr/predict_base.py:7-17).
+    """
+
+    @property
+    def pdev(self):
+        """Device-resident weight pytree to pass as the jit's first arg."""
+        if self.backend != "native":
+            return self.executor._get_device_weights()
+        p = getattr(self, "_pdev", None)
+        if p is None:
+            p = jax.device_put(self.params)
+            self._pdev = p
+        return p
+
+    @property
+    def pure_fn(self):
+        """(params, *args) function suitable for composing into other jits
+        (pipeline/fused.py, pipeline/onecall.py)."""
+        return self._native_fn if self.backend == "native" else self._graph_fn
+
+
+class DetForward(_ParamsAsArgs):
     """(Hb, Wb, 3) uint8 → (Hb, Wb) shrink-prob map.
 
     The wire dtype of the map is configurable (map_dtype): the axon tunnel's
@@ -97,38 +128,37 @@ class DetForward:
     # valid region (models/dbnet.apply) so the prob map over the valid
     # region is canvas-invariant. The graph backend interprets a fixed
     # ONNX graph and keeps the reference's unmasked GlobalAveragePool.
-    def _native_fn(self, x_u8, vhw):
+    def _native_fn(self, p, x_u8, vhw):
         x = det_pre.normalize_det(x_u8)[None].astype(self.dtype)
-        prob = dbnet.apply(self.params, x, backbone_arch=self.arch,
+        prob = dbnet.apply(p, x, backbone_arch=self.arch,
                            valid_hw=(vhw[0:1], vhw[1:2]))[0]
         return self._encode(prob.astype(jnp.float32))
 
-    def _graph_fn(self, x_u8, vhw):
+    def _graph_fn(self, w, x_u8, vhw):
         x = det_pre.normalize_det(x_u8)[None].astype(jnp.float32)
         x = jnp.transpose(x, (0, 3, 1, 2))  # NCHW for the ONNX graph
-        out = self.executor._interpret(self.executor._get_device_weights(),
+        out = self.executor._interpret(w,
                                        {self.executor.input_names[0]: x})[0]
         return self._encode(out[0, 0])  # (1,1,H,W) → (H,W)
 
     def __call__(self, padded_u8: np.ndarray,
                  valid_hw=None) -> jax.Array:
         if self._jit is None:
-            fn = self._native_fn if self.backend == "native" else self._graph_fn
-            self._jit = jax.jit(fn)
+            self._jit = jax.jit(self.pure_fn)
         if valid_hw is None:
             valid_hw = padded_u8.shape[:2]
-        return self._jit(padded_u8, np.asarray(valid_hw, np.int32))
+        return self._jit(self.pdev, padded_u8, np.asarray(valid_hw, np.int32))
 
     # --- pre-normalized float input (device det-resize path) -------------
-    def _native_fn_f32(self, x_f32, vhw):
+    def _native_fn_f32(self, p, x_f32, vhw):
         x = x_f32[None].astype(self.dtype)
-        prob = dbnet.apply(self.params, x, backbone_arch=self.arch,
+        prob = dbnet.apply(p, x, backbone_arch=self.arch,
                            valid_hw=(vhw[0:1], vhw[1:2]))[0]
         return self._encode(prob.astype(jnp.float32))
 
-    def _graph_fn_f32(self, x_f32, vhw):
+    def _graph_fn_f32(self, w, x_f32, vhw):
         x = jnp.transpose(x_f32[None].astype(jnp.float32), (0, 3, 1, 2))
-        out = self.executor._interpret(self.executor._get_device_weights(),
+        out = self.executor._interpret(w,
                                        {self.executor.input_names[0]: x})[0]
         return self._encode(out[0, 0])
 
@@ -139,7 +169,8 @@ class DetForward:
             self._jit_f32 = jax.jit(fn)
         if valid_hw is None:
             valid_hw = x_f32.shape[:2]
-        return self._jit_f32(x_f32, jnp.asarray(valid_hw, jnp.int32))
+        return self._jit_f32(self.pdev, x_f32,
+                             jnp.asarray(valid_hw, jnp.int32))
 
     # --- bitmap wire: forward + binarize + bitpack in one program --------
     def call_normalized_bits(self, x_f32, valid_hw, thresh: float
@@ -151,25 +182,24 @@ class DetForward:
         (pipeline/fused.call_scored)."""
         if getattr(self, "_jit_bits", None) is None:
 
-            def fn(x, vhw, th):
+            def fn(p, x, vhw, th):
                 if self.backend == "native":
                     xx = x[None].astype(self.dtype)
-                    prob = dbnet.apply(self.params, xx,
+                    prob = dbnet.apply(p, xx,
                                        backbone_arch=self.arch,
                                        valid_hw=(vhw[0:1], vhw[1:2]))[0]
                 else:
                     xt = jnp.transpose(x[None].astype(jnp.float32),
                                        (0, 3, 1, 2))
                     out = self.executor._interpret(
-                        self.executor._get_device_weights(),
-                        {self.executor.input_names[0]: xt})[0]
+                        p, {self.executor.input_names[0]: xt})[0]
                     prob = out[0, 0]
                 prob = prob.astype(jnp.float32)
                 bits = det_pre.bitpack_map(prob, vhw[0], vhw[1], th)
                 return bits, prob
 
             self._jit_bits = jax.jit(fn)
-        args = (x_f32, jnp.asarray(valid_hw, jnp.int32),
+        args = (self.pdev, x_f32, jnp.asarray(valid_hw, jnp.int32),
                 jnp.float32(thresh))
         from ..utils.profiling import CAPTURE
         CAPTURE.record("det_bits", self._jit_bits, args)
@@ -184,23 +214,22 @@ class DetForward:
         maps (SE pools masked to each page's valid region)."""
         if getattr(self, "_jit_pages_u8", None) is None:
 
-            def fn(batch):
+            def fn(p, batch):
                 pages, rhw = batch["pages"], batch["rhw"]
                 x = det_pre.normalize_det(pages).astype(self.dtype)
                 if self.backend == "native":
-                    prob = dbnet.apply(self.params, x,
+                    prob = dbnet.apply(p, x,
                                        backbone_arch=self.arch,
                                        valid_hw=(rhw[:, 0], rhw[:, 1]))
                 else:
                     xt = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
                     out = self.executor._interpret(
-                        self.executor._get_device_weights(),
-                        {self.executor.input_names[0]: xt})[0]
+                        p, {self.executor.input_names[0]: xt})[0]
                     prob = out[:, 0]
                 return self._encode(prob.astype(jnp.float32))
 
             self._jit_pages_u8 = jax.jit(fn)
-        return self._jit_pages_u8(batch)
+        return self._jit_pages_u8(self.pdev, batch)
 
     def make_pages_bits_fn(self, thresh: float):
         """Batched bitmap-wire det: {"pages": (B, Hb, Wb, 3) uint8,
@@ -209,17 +238,16 @@ class DetForward:
         to_host keeps probs device-resident for the deferred scoring
         call); per-page wire cost drops from ~0.9 MB to ~115 KB."""
 
-        def fn(batch):
+        def fn(p, batch):
             pages, rhw = batch["pages"], batch["rhw"]
             x = det_pre.normalize_det(pages).astype(self.dtype)
             if self.backend == "native":
-                prob = dbnet.apply(self.params, x, backbone_arch=self.arch,
+                prob = dbnet.apply(p, x, backbone_arch=self.arch,
                                    valid_hw=(rhw[:, 0], rhw[:, 1]))
             else:
                 xt = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
                 out = self.executor._interpret(
-                    self.executor._get_device_weights(),
-                    {self.executor.input_names[0]: xt})[0]
+                    p, {self.executor.input_names[0]: xt})[0]
                 prob = out[:, 0]
             prob = prob.astype(jnp.float32)
             bits = jax.vmap(det_pre.bitpack_map,
@@ -227,7 +255,8 @@ class DetForward:
                 prob, rhw[:, 0], rhw[:, 1], jnp.float32(thresh))
             return bits, prob
 
-        return jax.jit(fn)
+        jitted = jax.jit(fn)
+        return lambda batch: jitted(self.pdev, batch)
 
     def make_pages_boxes_fn(self, pp, max_k: int):
         """Batched det + ON-DEVICE box extraction: (B, Hb, Wb, 3) uint8 det
@@ -245,22 +274,22 @@ class DetForward:
                 [quads.reshape(max_k, 8), scores[:, None],
                  valid[:, None].astype(jnp.float32)], axis=-1)
 
-        def fn(batch):
+        def fn(p, batch):
             pages, rhw = batch["pages"], batch["rhw"]
             x = det_pre.normalize_det(pages).astype(self.dtype)
             if self.backend == "native":
-                prob = dbnet.apply(self.params, x, backbone_arch=self.arch,
+                prob = dbnet.apply(p, x, backbone_arch=self.arch,
                                    valid_hw=(rhw[:, 0], rhw[:, 1]))
             else:
                 xt = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
                 out = self.executor._interpret(
-                    self.executor._get_device_weights(),
-                    {self.executor.input_names[0]: xt})[0]
+                    p, {self.executor.input_names[0]: xt})[0]
                 prob = out[:, 0]
             return jax.vmap(one)(prob.astype(jnp.float32),
                                  rhw[:, 0], rhw[:, 1])
 
-        return jax.jit(fn)
+        jitted = jax.jit(fn)
+        return lambda batch: jitted(self.pdev, batch)
 
     # --- engine-level page batching: N source pages → N prob maps in ONE
     # device call (resize + forward + encode fused). Pages share a source
@@ -274,28 +303,27 @@ class DetForward:
         if getattr(self, "_jit_pages", None) is None:
             from ..ops import resize_dev
 
-            def fn(imgs, shw, rhw, out_h, out_w):
+            def fn(p, imgs, shw, rhw, out_h, out_w):
                 x = resize_dev.resize_normalize_det_batch(
                     imgs, shw[:, 0], shw[:, 1], rhw[:, 0], rhw[:, 1],
                     out_h, out_w).astype(self.dtype)
                 if self.backend == "native":
-                    prob = dbnet.apply(self.params, x,
+                    prob = dbnet.apply(p, x,
                                        backbone_arch=self.arch,
                                        valid_hw=(rhw[:, 0], rhw[:, 1]))
                 else:
                     xt = jnp.transpose(x.astype(jnp.float32), (0, 3, 1, 2))
                     out = self.executor._interpret(
-                        self.executor._get_device_weights(),
-                        {self.executor.input_names[0]: xt})[0]
+                        p, {self.executor.input_names[0]: xt})[0]
                     prob = out[:, 0]
                 return self._encode(prob.astype(jnp.float32))
 
             self._jit_pages = jax.jit(fn, static_argnames=("out_h", "out_w"))
-        return self._jit_pages(images_u8, src_hw, resize_hw,
+        return self._jit_pages(self.pdev, images_u8, src_hw, resize_hw,
                                out_h=out_h, out_w=out_w)
 
 
-class ClsForward:
+class ClsForward(_ParamsAsArgs):
     """(N, 48, 192, 3) float32 in [-1,1] → (N, 2) softmax probs."""
 
     def __init__(self, backend: str, model_path: Optional[str] = None,
@@ -309,24 +337,22 @@ class ClsForward:
             self.params = params
         self._jit = None
 
-    def _native_fn(self, crops):
-        return cls_model.apply(self.params,
+    def _native_fn(self, p, crops):
+        return cls_model.apply(p,
                                crops.astype(self.dtype)).astype(jnp.float32)
 
-    def _graph_fn(self, crops):
+    def _graph_fn(self, w, crops):
         x = jnp.transpose(crops, (0, 3, 1, 2))
         return self.executor._interpret(
-            self.executor._get_device_weights(),
-            {self.executor.input_names[0]: x})[0]
+            w, {self.executor.input_names[0]: x})[0]
 
     def __call__(self, crops) -> jax.Array:
         if self._jit is None:
-            fn = self._native_fn if self.backend == "native" else self._graph_fn
-            self._jit = jax.jit(fn)
-        return self._jit(crops)
+            self._jit = jax.jit(self.pure_fn)
+        return self._jit(self.pdev, crops)
 
 
-class RecForward:
+class RecForward(_ParamsAsArgs):
     """(N, 48, W, 3) float32 in [-1,1] → ((N, T) argmax idx, (N, T) prob).
 
     The vocab axis is reduced on device (ops/ctc.py) — only 2*N*T scalars
@@ -351,28 +377,27 @@ class RecForward:
     # (N*T, 18385) logits to HBM; plain XLA path elsewhere.
     use_pallas_head = True
 
-    def _native_fn(self, crops, valid_t=None):
+    def _native_fn(self, p, crops, valid_t=None):
         if self.arch == "crnn":
             # BiLSTM state flows over all T steps; width-masking does not
             # apply — CRNN keeps the per-bucket contract
             from ..models import crnn
-            logits = crnn.apply(self.params, crops.astype(self.dtype))
+            logits = crnn.apply(p, crops.astype(self.dtype))
             return ctc_ops.ctc_reduce_logits(logits.astype(jnp.float32))
         if self.use_pallas_head and jax.default_backend() == "tpu":
             from ..ops.pallas.ctc_head import ctc_head_reduce_batched
-            feats = svtr.apply_features(self.params,
+            feats = svtr.apply_features(p,
                                         crops.astype(self.dtype), valid_t)
             return ctc_head_reduce_batched(
-                feats.astype(jnp.float32), self.params["head"]["w"],
-                self.params["head"]["b"])
-        logits = svtr.apply(self.params, crops.astype(self.dtype), valid_t)
+                feats.astype(jnp.float32), p["head"]["w"],
+                p["head"]["b"])
+        logits = svtr.apply(p, crops.astype(self.dtype), valid_t)
         return ctc_ops.ctc_reduce_logits(logits.astype(jnp.float32))
 
-    def _graph_fn(self, crops, valid_t=None):
+    def _graph_fn(self, w, crops, valid_t=None):
         x = jnp.transpose(crops, (0, 3, 1, 2))
         probs = self.executor._interpret(
-            self.executor._get_device_weights(),
-            {self.executor.input_names[0]: x})[0]
+            w, {self.executor.input_names[0]: x})[0]
         return ctc_ops.ctc_reduce(probs)
 
     @property
@@ -383,11 +408,10 @@ class RecForward:
 
     def __call__(self, crops, valid_t=None) -> Tuple[jax.Array, jax.Array]:
         if self._jit is None:
-            fn = self._native_fn if self.backend == "native" else self._graph_fn
-            self._jit = jax.jit(fn)
+            self._jit = jax.jit(self.pure_fn)
         if valid_t is not None and self.masks_width:
-            return self._jit(crops, jnp.asarray(valid_t, jnp.int32))
-        return self._jit(crops)
+            return self._jit(self.pdev, crops, jnp.asarray(valid_t, jnp.int32))
+        return self._jit(self.pdev, crops)
 
 
 # ------------------------------------------------------------- decode support

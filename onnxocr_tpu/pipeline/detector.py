@@ -128,10 +128,12 @@ class TextDetector:
             img, self.limit_side_len, self.limit_type, self.bucket,
             image_shape=self.image_shape, keep_ratio=self.keep_ratio)
         prob_padded = self.forward(padded, valid_hw=(rh, rw))
-        # slice to the valid region ON DEVICE so only rh*rw bytes cross the
-        # tunnel, not the padded bucket
+        # download the full bucketed map and slice on HOST: a device-side
+        # slice compiles a new program per distinct (rh, rw) — each a
+        # multi-second compile/load round on the tunneled backend — while
+        # the extra canvas bytes cost only milliseconds of link bandwidth
         prob = backends.DetForward.decode_map(
-            np.asarray(prob_padded[:rh, :rw]))
+            np.asarray(prob_padded)[:rh, :rw])
         return prob, shape_info
 
     # ------------------------------------------------- device box extraction
@@ -156,13 +158,13 @@ class TextDetector:
         if getattr(self, "_jit_boxes", None) is None:
             fwd = self.forward
 
-            def fn(image_u8, s_h, s_w, r_h, r_w, out_h, out_w):
+            def fn(p, image_u8, s_h, s_w, r_h, r_w, out_h, out_w):
                 x = resize_dev.resize_normalize_det(
                     image_u8, s_h, s_w, r_h, r_w, out_h, out_w)
                 if fwd.backend == "native":
                     from ..models import dbnet
                     prob = dbnet.apply(
-                        fwd.params, x[None].astype(fwd.dtype),
+                        p, x[None].astype(fwd.dtype),
                         backbone_arch=fwd.arch,
                         valid_hw=(jnp.reshape(r_h, (1,)),
                                   jnp.reshape(r_w, (1,))))[0]
@@ -170,8 +172,7 @@ class TextDetector:
                     xt = jnp.transpose(x[None].astype(jnp.float32),
                                        (0, 3, 1, 2))
                     prob = fwd.executor._interpret(
-                        fwd.executor._get_device_weights(),
-                        {fwd.executor.input_names[0]: xt})[0][0, 0]
+                        p, {fwd.executor.input_names[0]: xt})[0][0, 0]
                 quads, scores, valid = db_device.device_boxes(
                     prob.astype(jnp.float32), r_h, r_w, max_k=max_k,
                     thresh=pp.thresh, box_thresh=pp.box_thresh,
@@ -184,7 +185,8 @@ class TextDetector:
                                       static_argnames=("out_h", "out_w"))
 
         packed = np.asarray(self._jit_boxes(
-            image_dev, jnp.int32(src_h), jnp.int32(src_w), jnp.int32(rh),
+            self.forward.pdev, image_dev, jnp.int32(src_h),
+            jnp.int32(src_w), jnp.int32(rh),
             jnp.int32(rw), out_h=hb, out_w=wb))
         return db_device.unpack_boxes(packed, rw, rh, src_w, src_h)
 
@@ -207,7 +209,7 @@ class TextDetector:
             jnp.int32(rw), hb, wb)
         prob_padded = self.forward.call_normalized(x, valid_hw=(rh, rw))
         prob = backends.DetForward.decode_map(
-            np.asarray(prob_padded[:rh, :rw]))
+            np.asarray(prob_padded)[:rh, :rw])  # host slice (see above)
         shape_info = np.array([src_h, src_w, rh / float(src_h),
                                rw / float(src_w)], dtype=np.float64)
         return prob, shape_info
@@ -232,7 +234,7 @@ class TextDetector:
                 _bm, prob_dev, (rh, rw), shape_info = \
                     self._page_batcher.submit_bits(img)
                 prob = backends.DetForward.decode_map(
-                    np.asarray(prob_dev[:rh, :rw]))
+                    np.asarray(prob_dev)[:rh, :rw])  # host slice
                 return self.boxes_from_prob(prob, shape_info, img.shape)
             prob, shape_info = self._page_batcher.submit(img)
         else:

@@ -37,21 +37,26 @@ class FusedClsRec:
         self.interp = interp
         self._jit = {}
 
-    def _build(self, use_cls: bool):
-        cls_fn = self.cls_forward._native_fn if \
-            self.cls_forward is not None and \
-            self.cls_forward.backend == "native" else \
-            (self.cls_forward._graph_fn if self.cls_forward else None)
-        rec_fn = self.rec_forward._native_fn if \
-            self.rec_forward.backend == "native" else self.rec_forward._graph_fn
+    def _pp(self, use_cls: bool):
+        """(cls params, rec params) device-resident pytrees — passed as jit
+        ARGUMENTS so the weights live once in HBM instead of being embedded
+        as constants in every shape bucket's program (backends._ParamsAsArgs)."""
+        cls_p = self.cls_forward.pdev if \
+            (use_cls and self.cls_forward is not None) else {}
+        return cls_p, self.rec_forward.pdev
 
-        def step(image_u8, cls_mats, cls_valid, rec_mats, rec_mats_rot,
-                 rec_valid, out_h: int, out_w: int):
+    def _build(self, use_cls: bool):
+        cls_fn = self.cls_forward.pure_fn if \
+            self.cls_forward is not None else None
+        rec_fn = self.rec_forward.pure_fn
+
+        def step(cls_p, rec_p, image_u8, cls_mats, cls_valid, rec_mats,
+                 rec_mats_rot, rec_valid, out_h: int, out_w: int):
             if use_cls:
                 cls_crops = warp_ops.warp_crops(
                     image_u8, cls_mats, cls_valid, self.cls_h, self.cls_w,
                     self.interp)
-                cls_probs = cls_fn(cls_crops)
+                cls_probs = cls_fn(cls_p, cls_crops)
                 rot = (jnp.argmax(cls_probs, axis=1) == self.idx180) & \
                     (cls_probs[:, self.idx180] > self.cls_thresh)
                 mats = jnp.where(rot[:, None, None], rec_mats_rot, rec_mats)
@@ -62,9 +67,9 @@ class FusedClsRec:
             crops = warp_ops.warp_crops(image_u8, mats, rec_valid, out_h,
                                         out_w, self.interp)
             if self.rec_forward.masks_width:
-                idx, prob = rec_fn(crops, (rec_valid + 7) // 8)
+                idx, prob = rec_fn(rec_p, crops, (rec_valid + 7) // 8)
             else:
-                idx, prob = rec_fn(crops)
+                idx, prob = rec_fn(rec_p, crops)
             # ONE packed download — every extra np.asarray costs a ~25 ms
             # round trip on the tunneled link. Layout: (N, 2T+3) =
             # [idx (T), prob (T), cls_probs (2), rot (1)].
@@ -79,20 +84,17 @@ class FusedClsRec:
         """Cross-image variant: crops gather from a BATCH of source pages
         (warp_crops_multi) so concurrent requests' cls+rec fuse into one
         device call (runtime/batcher.RecPageBatcher)."""
-        cls_fn = self.cls_forward._native_fn if \
-            self.cls_forward is not None and \
-            self.cls_forward.backend == "native" else \
-            (self.cls_forward._graph_fn if self.cls_forward else None)
-        rec_fn = self.rec_forward._native_fn if \
-            self.rec_forward.backend == "native" else self.rec_forward._graph_fn
+        cls_fn = self.cls_forward.pure_fn if \
+            self.cls_forward is not None else None
+        rec_fn = self.rec_forward.pure_fn
 
-        def step(images_u8, img_idx, cls_mats, cls_valid, rec_mats,
-                 rec_mats_rot, rec_valid, out_h: int, out_w: int):
+        def step(cls_p, rec_p, images_u8, img_idx, cls_mats, cls_valid,
+                 rec_mats, rec_mats_rot, rec_valid, out_h: int, out_w: int):
             if use_cls:
                 cls_crops = warp_ops.warp_crops_multi(
                     images_u8, img_idx, cls_mats, cls_valid,
                     self.cls_h, self.cls_w, self.interp)
-                cls_probs = cls_fn(cls_crops)
+                cls_probs = cls_fn(cls_p, cls_crops)
                 rot = (jnp.argmax(cls_probs, axis=1) == self.idx180) & \
                     (cls_probs[:, self.idx180] > self.cls_thresh)
                 mats = jnp.where(rot[:, None, None], rec_mats_rot, rec_mats)
@@ -102,9 +104,9 @@ class FusedClsRec:
                                               rec_valid, out_h, out_w,
                                               self.interp)
             if self.rec_forward.masks_width:
-                idx, prob = rec_fn(crops, (rec_valid + 7) // 8)
+                idx, prob = rec_fn(rec_p, crops, (rec_valid + 7) // 8)
             else:
-                idx, prob = rec_fn(crops)
+                idx, prob = rec_fn(rec_p, crops)
             # packed (N, 2T) = [idx, prob] — one download per group
             return jnp.concatenate(
                 [idx.astype(jnp.float32), prob.astype(jnp.float32)],
@@ -121,15 +123,13 @@ class FusedClsRec:
         even-odd twin of the host scorer) while warping/recognizing every
         candidate, and the host applies box_thresh afterwards."""
         from ..ops.db_device import _quad_mask_mean
-        cls_fn = self.cls_forward._native_fn if \
-            self.cls_forward is not None and \
-            self.cls_forward.backend == "native" else \
-            (self.cls_forward._graph_fn if self.cls_forward else None)
-        rec_fn = self.rec_forward._native_fn if \
-            self.rec_forward.backend == "native" else self.rec_forward._graph_fn
+        cls_fn = self.cls_forward.pure_fn if \
+            self.cls_forward is not None else None
+        rec_fn = self.rec_forward.pure_fn
 
-        def step(image_u8, prob, r_h, r_w, pre_quads, cls_mats, cls_valid,
-                 rec_mats, rec_mats_rot, rec_valid, out_h: int, out_w: int):
+        def step(cls_p, rec_p, image_u8, prob, r_h, r_w, pre_quads, cls_mats,
+                 cls_valid, rec_mats, rec_mats_rot, rec_valid,
+                 out_h: int, out_w: int):
             H, W = prob.shape
             in_valid = (jnp.arange(H, dtype=jnp.int32)[:, None] < r_h) & \
                 (jnp.arange(W, dtype=jnp.int32)[None, :] < r_w)
@@ -138,7 +138,7 @@ class FusedClsRec:
                 cls_crops = warp_ops.warp_crops(
                     image_u8, cls_mats, cls_valid, self.cls_h, self.cls_w,
                     self.interp)
-                cls_probs = cls_fn(cls_crops)
+                cls_probs = cls_fn(cls_p, cls_crops)
                 rot = (jnp.argmax(cls_probs, axis=1) == self.idx180) & \
                     (cls_probs[:, self.idx180] > self.cls_thresh)
                 mats = jnp.where(rot[:, None, None], rec_mats_rot, rec_mats)
@@ -147,9 +147,9 @@ class FusedClsRec:
             crops = warp_ops.warp_crops(image_u8, mats, rec_valid, out_h,
                                         out_w, self.interp)
             if self.rec_forward.masks_width:
-                idx, prob_max = rec_fn(crops, (rec_valid + 7) // 8)
+                idx, prob_max = rec_fn(rec_p, crops, (rec_valid + 7) // 8)
             else:
-                idx, prob_max = rec_fn(crops)
+                idx, prob_max = rec_fn(rec_p, crops)
             # packed (N, 2T+1) = [idx, prob, score] — one download
             return jnp.concatenate(
                 [idx.astype(jnp.float32), prob_max.astype(jnp.float32),
@@ -165,7 +165,9 @@ class FusedClsRec:
         if fn is None:
             fn = self._build_scored(use_cls)
             self._jit[key] = fn
-        args = (image_u8_dev, prob_dev, jnp.int32(r_h), jnp.int32(r_w),
+        cls_p, rec_p = self._pp(use_cls)
+        args = (cls_p, rec_p, image_u8_dev, prob_dev, jnp.int32(r_h),
+                jnp.int32(r_w),
                 jnp.asarray(pre_quads), jnp.asarray(cls_mats),
                 jnp.asarray(cls_valid), jnp.asarray(rec_mats),
                 jnp.asarray(rec_mats_rot), jnp.asarray(rec_valid),
@@ -180,22 +182,19 @@ class FusedClsRec:
         quad scores against its own page's HBM-resident prob map
         (ops/db_device.quad_mask_mean_multi)."""
         from ..ops.db_device import quad_mask_mean_multi
-        cls_fn = self.cls_forward._native_fn if \
-            self.cls_forward is not None and \
-            self.cls_forward.backend == "native" else \
-            (self.cls_forward._graph_fn if self.cls_forward else None)
-        rec_fn = self.rec_forward._native_fn if \
-            self.rec_forward.backend == "native" else self.rec_forward._graph_fn
+        cls_fn = self.cls_forward.pure_fn if \
+            self.cls_forward is not None else None
+        rec_fn = self.rec_forward.pure_fn
 
-        def step(images_u8, probs, rhw, img_idx, pre_quads, cls_mats,
-                 cls_valid, rec_mats, rec_mats_rot, rec_valid,
+        def step(cls_p, rec_p, images_u8, probs, rhw, img_idx, pre_quads,
+                 cls_mats, cls_valid, rec_mats, rec_mats_rot, rec_valid,
                  out_h: int, out_w: int):
             scores = quad_mask_mean_multi(probs, rhw, pre_quads, img_idx)
             if use_cls:
                 cls_crops = warp_ops.warp_crops_multi(
                     images_u8, img_idx, cls_mats, cls_valid,
                     self.cls_h, self.cls_w, self.interp)
-                cls_probs = cls_fn(cls_crops)
+                cls_probs = cls_fn(cls_p, cls_crops)
                 rot = (jnp.argmax(cls_probs, axis=1) == self.idx180) & \
                     (cls_probs[:, self.idx180] > self.cls_thresh)
                 mats = jnp.where(rot[:, None, None], rec_mats_rot, rec_mats)
@@ -205,9 +204,9 @@ class FusedClsRec:
                                               rec_valid, out_h, out_w,
                                               self.interp)
             if self.rec_forward.masks_width:
-                idx, prob = rec_fn(crops, (rec_valid + 7) // 8)
+                idx, prob = rec_fn(rec_p, crops, (rec_valid + 7) // 8)
             else:
-                idx, prob = rec_fn(crops)
+                idx, prob = rec_fn(rec_p, crops)
             # packed (N, 2T+1) = [idx, prob, score] — one download
             return jnp.concatenate(
                 [idx.astype(jnp.float32), prob.astype(jnp.float32),
@@ -224,7 +223,9 @@ class FusedClsRec:
         if fn is None:
             fn = self._build_multi_scored(use_cls)
             self._jit[key] = fn
-        return fn(jnp.asarray(images_u8), probs, jnp.asarray(rhw),
+        cls_p, rec_p = self._pp(use_cls)
+        return fn(cls_p, rec_p, jnp.asarray(images_u8), probs,
+                  jnp.asarray(rhw),
                   jnp.asarray(img_idx), jnp.asarray(pre_quads),
                   jnp.asarray(cls_mats), jnp.asarray(cls_valid),
                   jnp.asarray(rec_mats), jnp.asarray(rec_mats_rot),
@@ -238,7 +239,9 @@ class FusedClsRec:
         if fn is None:
             fn = self._build_multi(use_cls)
             self._jit[key] = fn
-        return fn(jnp.asarray(images_u8), jnp.asarray(img_idx),
+        cls_p, rec_p = self._pp(use_cls)
+        return fn(cls_p, rec_p, jnp.asarray(images_u8),
+                  jnp.asarray(img_idx),
                   jnp.asarray(cls_mats), jnp.asarray(cls_valid),
                   jnp.asarray(rec_mats), jnp.asarray(rec_mats_rot),
                   jnp.asarray(rec_valid), out_h, out_w)
@@ -251,7 +254,8 @@ class FusedClsRec:
         if fn is None:
             fn = self._build(use_cls)
             self._jit[key] = fn
-        return fn(image_u8_dev, jnp.asarray(cls_mats),
+        cls_p, rec_p = self._pp(use_cls)
+        return fn(cls_p, rec_p, image_u8_dev, jnp.asarray(cls_mats),
                   jnp.asarray(cls_valid), jnp.asarray(rec_mats),
                   jnp.asarray(rec_mats_rot), jnp.asarray(rec_valid),
                   out_h, out_w)

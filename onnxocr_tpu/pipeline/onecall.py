@@ -65,26 +65,23 @@ class OneCallPipeline:
         det_fwd = self.detector.forward
         pp = self.detector.postprocess_op
         fused = self.fused
-        cls_fn = fused.cls_forward._native_fn if \
-            fused.cls_forward is not None and \
-            fused.cls_forward.backend == "native" else \
-            (fused.cls_forward._graph_fn if fused.cls_forward else None)
-        rec_fn = fused.rec_forward._native_fn if \
-            fused.rec_forward.backend == "native" else \
-            fused.rec_forward._graph_fn
+        cls_fn = fused.cls_forward.pure_fn if \
+            fused.cls_forward is not None else None
+        rec_fn = fused.rec_forward.pure_fn
         imgH = self.imgH
         rec_w = self.rec_w
         k_rec = self.k_rec
         k_det = self.k_det
 
-        def step(image_u8, src_h, src_w, r_h, r_w, out_h: int, out_w: int):
+        def step(det_p, cls_p, rec_p, image_u8, src_h, src_w, r_h, r_w,
+                 out_h: int, out_w: int):
             # --- det forward from the HBM-resident source
             x = resize_dev.resize_normalize_det(
                 image_u8, src_h, src_w, r_h, r_w, out_h, out_w)
             if det_fwd.backend == "native":
                 from ..models import dbnet
                 prob = dbnet.apply(
-                    det_fwd.params, x[None].astype(det_fwd.dtype),
+                    det_p, x[None].astype(det_fwd.dtype),
                     backbone_arch=det_fwd.arch,
                     valid_hw=(jnp.reshape(r_h, (1,)),
                               jnp.reshape(r_w, (1,))))[0]
@@ -92,7 +89,7 @@ class OneCallPipeline:
                 xt = jnp.transpose(x[None].astype(jnp.float32),
                                    (0, 3, 1, 2))
                 prob = det_fwd.executor._interpret(
-                    det_fwd.executor._get_device_weights(),
+                    det_p,
                     {det_fwd.executor.input_names[0]: xt})[0][0, 0]
 
             # --- DB box extraction on device (map coords)
@@ -137,7 +134,7 @@ class OneCallPipeline:
                 cls_crops = warp_ops.warp_crops(
                     image_u8, cls_m, cls_vw, fused.cls_h, fused.cls_w,
                     fused.interp)
-                cls_probs = cls_fn(cls_crops)
+                cls_probs = cls_fn(cls_p, cls_crops)
                 rot = (jnp.argmax(cls_probs, axis=1) == fused.idx180) & \
                     (cls_probs[:, fused.idx180] > fused.cls_thresh)
                 mats = jnp.where(rot[:, None, None], rec_m_rot, rec_m)
@@ -146,9 +143,9 @@ class OneCallPipeline:
             crops = warp_ops.warp_crops(image_u8, mats, rec_vw, imgH,
                                         rec_w, fused.interp)
             if fused.rec_forward.masks_width:
-                idx, prob_max = rec_fn(crops, (rec_vw + 7) // 8)
+                idx, prob_max = rec_fn(rec_p, crops, (rec_vw + 7) // 8)
             else:
-                idx, prob_max = rec_fn(crops)
+                idx, prob_max = rec_fn(rec_p, crops)
 
             # --- pack everything into one buffer: one download, one RTT
             T = idx.shape[1]
@@ -191,7 +188,12 @@ class OneCallPipeline:
         if fn is None:
             fn = self._build(use_cls)
             self._jit[use_cls] = fn
+        det_p = self.detector.forward.pdev
+        cls_p = self.fused.cls_forward.pdev if \
+            (use_cls and self.fused.cls_forward is not None) else {}
+        rec_p = self.fused.rec_forward.pdev
         packed = np.asarray(fn(
+            det_p, cls_p, rec_p,
             image_dev, jnp.int32(src_h), jnp.int32(src_w), jnp.int32(rh),
             jnp.int32(rw), out_h=hb, out_w=wb))
         n_valid = int(packed[-1, 0])

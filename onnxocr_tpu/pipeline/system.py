@@ -156,8 +156,13 @@ class TextSystem:
                     jnp.int32(rh), jnp.int32(rw), hb, wb)
                 bits_dev, prob_dev = det.forward.call_normalized_bits(
                     x, (rh, rw), pp.thresh)
+                # download the FULL fixed-shape bitmap and slice on host:
+                # a device-side slice compiles a new program per distinct
+                # (rh, rw) — each costing a multi-second compile/load round
+                # on the tunneled backend — while the extra canvas bytes
+                # are ~75 KB at link bandwidth (milliseconds)
                 bitmap = det_pre.unpack_bitmap(
-                    np.asarray(bits_dev[:rh, :rw // 8]), rw)
+                    np.asarray(bits_dev)[:rh, :rw // 8], rw)
             if pp.use_dilation:
                 bitmap = geometry.dilate2x2(bitmap.astype(np.uint8))
             pre_quads, cand = pp.candidates_from_bitmap(
@@ -194,7 +199,8 @@ class TextSystem:
         # candidate overflow (speckle-heavy page): score on host from the
         # downloaded map, then the standard sorted fused rec path
         with timer.stage("det"):
-            prob = np.asarray(prob_dev[:rh, :rw])
+            prob = np.asarray(prob_dev)[:rh, :rw]  # host slice: no
+            # per-shape device slice program (see bitmap note above)
             scores = np.asarray([db_post.box_score_fast(prob, q)
                                  for q in pre], np.float32)
             dt_boxes = sorted_boxes(

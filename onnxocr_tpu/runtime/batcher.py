@@ -269,7 +269,9 @@ class DetPageBatcher:
                                    "rhw": np.array([[rh, rw]], np.int32)})
         out0 = out[0]
         if not isinstance(out0, np.ndarray):
-            out0 = np.asarray(out0[:rh, :rw])  # device-side slice
+            # full-canvas download + HOST slice: a device-side slice would
+            # compile a new program per distinct (rh, rw)
+            out0 = np.asarray(out0)[:rh, :rw]
         else:
             out0 = out0[:rh, :rw]
         return self.forward.decode_map(out0), shape_info
