@@ -190,10 +190,10 @@ def main():
     # source bucket costs its own fused-program compile/load, so if the
     # warmup deadline trims the corpus, the warmed prefix should cover the
     # fewest programs serving the most images.
-    from onnxocr_tpu.ops import det_pre as _dp
+    from onnxocr_tpu.ops import resize_dev as _rd
     buckets = {}
     for im in images:
-        key = (_dp.round_up(im.shape[0], 256), _dp.round_up(im.shape[1], 256))
+        key = _rd.src_bucket_shape(im.shape[0], im.shape[1])
         buckets.setdefault(key, []).append(im)
     images = [im for _, grp in sorted(buckets.items(),
                                       key=lambda kv: -len(kv[1]))
@@ -284,20 +284,31 @@ def main():
     rec_b = model.text_recognizer._crop_batcher
     if rec_b is not None and model._fused is not None and remaining() > 50:
         STATE["phase"] = "warmup-rec-multi"
-        from onnxocr_tpu.ops import det_pre
-        src_buckets = sorted({(det_pre.round_up(im.shape[0], 256),
-                               det_pre.round_up(im.shape[1], 256), 3)
-                              for im in images})
+        # frequency order: if the budget stops the warm early, the warmed
+        # canonical programs cover the most images (the batcher refuses to
+        # coalesce unwarmed shapes, so unwarmed buckets just run per-page)
+        from onnxocr_tpu.ops import resize_dev as _rd2
+        freq = {}
+        for im in images:
+            sb = _rd2.src_bucket_shape(im.shape[0], im.shape[1]) + (3,)
+            freq[sb] = freq.get(sb, 0) + 1
+        # top-4 buckets only: they cover most coalescing opportunities, and
+        # the batcher's warmed-only gate makes unwarmed buckets run per-page
+        # instead of compiling mid-round
+        src_buckets = [sb for sb, _ in
+                       sorted(freq.items(), key=lambda kv: -kv[1])][:4]
         prob_shape = det_b.canvas if (det_b is not None and
                                       det_b.wire == "bits") else None
+        # reserve ~35% of the budget for the timed phases
+        reserve = max(50.0, BUDGET_S * 0.35)
         for sb in src_buckets:
-            if remaining() < 50:
+            if remaining() < reserve:
                 note("rec-multi warm: budget stop")
                 break
             warmed = rec_b.warm_canonical(
                 model._fused, sb, model.text_recognizer.rec_image_shape[1],
                 use_cls=True, prob_shape=prob_shape,
-                should_stop=lambda: remaining() < 45)
+                should_stop=lambda: remaining() < reserve - 10)
             note("rec-multi warmed %s: %s" % (sb, ",".join(warmed)))
 
     # ---- Phase 3: one pipelined replay (concurrent-path shapes).

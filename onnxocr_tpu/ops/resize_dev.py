@@ -86,15 +86,29 @@ def resize_normalize_det_batch(images_u8, src_hs, src_ws, resize_hs,
                       out_h, out_w)
 
 
-def pad_src_bucket(img: np.ndarray, granularity: int = 256
-                   ) -> Tuple[np.ndarray, int, int]:
+# Source-bucket granularity. Deliberately coarse (512, min one full tile):
+# every distinct padded source shape compiles its own resize/warp/fused
+# programs, and on the tunneled TPU each program costs seconds of
+# compile/load once per process, while the padding it avoids costs
+# milliseconds of upload bandwidth (~160 MB/s up). 512 collapses a typical
+# mixed corpus from ~9 source buckets to ~4-5.
+SRC_BUCKET = 512
+
+
+def src_bucket_shape(h: int, w: int) -> Tuple[int, int]:
+    """The padded (hb, wb) source bucket for an h×w image — the compile key
+    for every program that gathers from the HBM-resident source."""
+    return (max(SRC_BUCKET, det_pre.round_up(h, SRC_BUCKET)),
+            max(SRC_BUCKET, det_pre.round_up(w, SRC_BUCKET)))
+
+
+def pad_src_bucket(img: np.ndarray) -> Tuple[np.ndarray, int, int]:
     """EDGE-pad the original image up to a source bucket so each distinct
     padded shape compiles the resize/warp programs once. Edge padding (not
     zeros) keeps BORDER_REPLICATE semantics for crop warps that clamp at the
     padded boundary."""
     h, w = img.shape[:2]
-    hb = det_pre.round_up(h, granularity)
-    wb = det_pre.round_up(w, granularity)
+    hb, wb = src_bucket_shape(h, w)
     if (hb, wb) == (h, w):
         return np.ascontiguousarray(img), h, w
     out = np.pad(img, ((0, hb - h), (0, wb - w), (0, 0)), mode="edge")

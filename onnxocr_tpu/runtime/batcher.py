@@ -331,11 +331,23 @@ class RecCropBatcher:
         self.batch_ladder = tuple(batch_ladder)
         self.img_ladder = tuple(img_ladder)
         self.max_wait = max_wait_ms / 1000.0
+        # canonical programs warm_canonical() has actually compiled. Once
+        # anything is registered, multi-page groups run ONLY at registered
+        # keys — an unwarmed (rare/big) source bucket falls back to solo
+        # per-page runs (whose programs serial traffic already compiled)
+        # instead of hitting a multi-second compile mid-round.
+        self._warmed: set = set()
         self._q: "queue.Queue[_Work]" = queue.Queue()
         self._stop = False
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="ocr-recbatcher")
         self._thread.start()
+
+    @staticmethod
+    def _canon_key(image_shape, prob_shape, b_img, width, out_h, use_cls):
+        return (tuple(image_shape),
+                tuple(prob_shape) if prob_shape is not None else None,
+                int(b_img), int(width), int(out_h), bool(use_cls))
 
     def close(self):
         self._stop = True
@@ -414,6 +426,8 @@ class RecCropBatcher:
                         images, img_idx, eye, valid, eye, eye, valid,
                         out_h, cw, use_cls=use_cls)
                 jax.block_until_ready(out)
+                self._warmed.add(self._canon_key(
+                    image_shape, prob_shape, b_img, cw, out_h, use_cls))
                 warmed.append("i%d_w%d" % (b_img, cw))
         return warmed
 
@@ -507,6 +521,16 @@ class RecCropBatcher:
             # forwards that promotion requires (models/svtr mask re-zeroing).
             bucket_w = next((cw for cw in self.COALESCE_WIDTHS
                              if bucket_w <= cw), bucket_w)
+            if self._warmed and self._canon_key(
+                    item0["image"].shape,
+                    item0["prob"].shape if "prob" in item0 else None,
+                    b_img, bucket_w, out_h, use_cls) not in self._warmed:
+                # unwarmed canonical shape (rare source bucket): solo runs
+                # reuse serially-warmed per-page programs — never compile
+                # inside a timed/serving window
+                for w in works:
+                    self._run_group([w])
+                return
             bsz = self.batch_ladder[-1]
         else:
             bsz = next((b for b in self.batch_ladder if n <= b),

@@ -194,13 +194,13 @@ class EngineManager:
         det_b = getattr(model.text_detector, "_page_batcher", None)
         prob_shape = det_b.canvas if (det_b is not None and
                                       det_b.wire == "bits") else None
-        from ..ops import det_pre
+        from ..ops import resize_dev
         for part in spec.split(","):
             try:
                 h, w = (int(x) for x in part.lower().split("x"))
             except ValueError:
                 continue
-            sb = (det_pre.round_up(h, 256), det_pre.round_up(w, 256), 3)
+            sb = resize_dev.src_bucket_shape(h, w) + (3,)
             batcher.warm_canonical(
                 fused, sb, rec.rec_image_shape[1],
                 use_cls=bool(model.use_angle_cls), prob_shape=prob_shape)
