@@ -367,3 +367,69 @@ def test_rec_batcher_warm_canonical():
                                 use_cls=True, prob_shape=(320, 320),
                                 should_stop=lambda: True)
     assert stopped == []
+
+
+def test_rec_batcher_warmed_only_gate():
+    """Once warm_canonical has registered any canonical program, multi-page
+    groups run ONLY at registered keys: two pages of an UNWARMED source
+    bucket fall back to solo per-page runs (never a mid-traffic compile),
+    while the warmed bucket still coalesces."""
+    import jax.numpy as jnp
+    from onnxocr_tpu import ONNXPaddleOcr
+
+    m = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0,
+                      tpu_rec_microbatch=True,
+                      tpu_microbatch_wait_ms=5000.0)
+    rec = m.text_recognizer
+    if not rec.forward.masks_width:
+        return
+    fused = m._fused
+    rb = rec._crop_batcher
+    # shrink for CPU test cost; enumeration logic identical at defaults
+    rb.img_ladder = (1, 2)
+    rb.batch_ladder = (1, 2, 4, 8)
+
+    warmed = rb.warm_canonical(fused, (256, 256, 3), 48, use_cls=True,
+                               prob_shape=(320, 320))
+    assert warmed and rb._warmed
+
+    calls = []
+    orig = fused.call_multi_scored
+
+    def spy(images, probs, rhw, img_idx, quads, *rest, **kw):
+        calls.append(int(images.shape[0]))
+        return orig(images, probs, rhw, img_idx, quads, *rest, **kw)
+
+    fused.call_multi_scored = spy
+    boxes = np.array([[[10, 10], [120, 10], [120, 40], [10, 40]],
+                      [[10, 60], [200, 60], [200, 100], [10, 100]]],
+                     np.float32)
+
+    def run_pages(page_shape, prob_shape):
+        page = jnp.asarray(np.full(page_shape, 230, np.uint8))
+        prob = jnp.zeros(prob_shape, np.float32)
+        outs = []
+
+        def worker():
+            outs.append(rec.run_candidates_scored(
+                page, prob, prob_shape[0], prob_shape[1], boxes,
+                boxes.copy(), fused, (48, 192), use_cls=True))
+
+        threads = [threading.Thread(target=worker) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return outs
+
+    # unwarmed source bucket: must NOT coalesce (solo b_img=1 runs only)
+    calls.clear()
+    outs = run_pages((512, 512, 3), (640, 640))
+    assert len(outs) == 2 and all(len(o[0]) == 2 for o in outs)
+    assert calls and all(b == 1 for b in calls), calls
+
+    # the warmed bucket still coalesces
+    calls.clear()
+    outs = run_pages((256, 256, 3), (320, 320))
+    assert len(outs) == 2 and all(len(o[0]) == 2 for o in outs)
+    assert any(b >= 2 for b in calls), calls
