@@ -171,13 +171,20 @@ def main():
                     help="override det_model_dir (evaluate a candidate "
                          "det checkpoint: pass <dir>/det.onnx with "
                          "native_params.npz beside it)")
+    ap.add_argument("--rec-dir", default="",
+                    help="override rec_model_dir (candidate rec "
+                         "checkpoint, same <dir>/rec.onnx convention)")
     args = ap.parse_args()
 
     import cv2
-    if args.det_dir:
+    if args.det_dir or args.rec_dir:
         from onnxocr_tpu import ONNXPaddleOcr
-        model = ONNXPaddleOcr(use_angle_cls=True, use_gpu=False,
-                              det_model_dir=args.det_dir)
+        kw = {}
+        if args.det_dir:
+            kw["det_model_dir"] = args.det_dir
+        if args.rec_dir:
+            kw["rec_model_dir"] = args.rec_dir
+        model = ONNXPaddleOcr(use_angle_cls=True, use_gpu=False, **kw)
     else:
         from onnxocr_tpu.service import engine as engine_mod
         em = engine_mod.EngineManager(concurrency=1)
