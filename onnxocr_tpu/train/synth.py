@@ -27,6 +27,68 @@ FONTS = [
 DEFAULT_CHARSET = string.ascii_letters + string.digits + \
     " .,:;!?%()+-*/='\"&@#$"
 
+# Fallback lexicon when no package metadata is readable on the host.
+_FALLBACK_WORDS = (
+    "the of and to in is for with on that this from by are was total "
+    "amount date time name address account number invoice receipt item "
+    "price tax cash card change due paid balance order code gate flight "
+    "seat class serial test result range unit value table page report "
+    "bank close open service terminal customer signature please thank "
+    "you welcome store street city phone email note free sample data "
+    "model type status check department hospital clinic normal high low "
+    "reference method blood pressure weight size width height length "
+    "quality quantity description product company limited group public "
+    "national international airport station north south east west "
+    "avenue road building floor room office center market square theatre "
+    "museum palace royal arts grand hotel restaurant menu coffee tea "
+    "january february march april may june july august september "
+    "october november december monday tuesday wednesday thursday friday "
+    "saturday sunday").split()
+
+
+def _harvest_lexicon(max_words: int = 4000) -> List[str]:
+    """English word list harvested from package metadata / license prose
+    on the host (no egress, no dict files in this image). Deterministic
+    given the filesystem; falls back to a built-in list."""
+    import collections
+    import glob
+    import os
+    import re
+    import sysconfig
+    counts: collections.Counter = collections.Counter()
+    budget = 2_500_000
+    roots: List[str] = []
+    for base in {sysconfig.get_paths().get("purelib", ""),
+                 sysconfig.get_paths().get("platlib", "")}:
+        if base and os.path.isdir(base):
+            roots.extend(sorted(glob.glob(
+                os.path.join(base, "*.dist-info", "METADATA")))[:300])
+            roots.extend(sorted(glob.glob(
+                os.path.join(base, "*.dist-info", "LICENSE*")))[:100])
+    for path in roots:
+        if budget <= 0:
+            break
+        try:
+            with open(path, "r", errors="ignore") as f:
+                txt = f.read(min(budget, 200_000))
+        except OSError:
+            continue
+        budget -= len(txt)
+        counts.update(w.lower() for w in re.findall(r"[A-Za-z]{2,12}", txt))
+    words = [w for w, c in counts.most_common(max_words * 2) if c >= 3]
+    words = [w for w in words if len(w) >= 2][:max_words]
+    return words if len(words) >= 200 else list(_FALLBACK_WORDS)
+
+
+_LEXICON_CACHE: Optional[List[str]] = None
+
+
+def _lexicon() -> List[str]:
+    global _LEXICON_CACHE
+    if _LEXICON_CACHE is None:
+        _LEXICON_CACHE = _harvest_lexicon()
+    return _LEXICON_CACHE
+
 
 def _font_coverage(path) -> set:
     """Set of unicode codepoints a font file can actually draw, read from
@@ -68,7 +130,8 @@ class TextRenderer:
 
     def __init__(self, charset: Optional[str] = None,
                  char_to_idx: Optional[Dict[str, int]] = None,
-                 seed: int = 0, ascii_bias: float = 0.5):
+                 seed: int = 0, ascii_bias: float = 0.5,
+                 structured_frac: float = 0.0):
         from PIL import ImageFont
         if charset is None:
             charset = ("".join(char_to_idx) if char_to_idx is not None
@@ -77,6 +140,7 @@ class TextRenderer:
                 if (char_to_idx is None or c in char_to_idx) and _drawable(c)]
         self.char_to_idx = char_to_idx
         self.ascii_bias = ascii_bias
+        self.structured_frac = structured_frac
         self.rng = np.random.default_rng(seed)
         self._fonts = {}
         self._font_chars: Dict[Tuple[str, int], list] = {}
@@ -103,6 +167,11 @@ class TextRenderer:
         assert self._fonts, "no usable fonts"
         # chars renderable by at least one font, in pool order
         self.charset = [c for c in pool if c in covered]
+        cset = set(self.charset)
+        # words usable for structured lines: every char renderable+mapped
+        self._lexicon = [w for w in _lexicon()
+                         if all(c in cset for c in w)] or ["no"]
+        self._charset_set = cset
 
     def _pick_font(self) -> Tuple[str, int]:
         keys = list(self._fonts)
@@ -121,9 +190,113 @@ class TextRenderer:
         chars = self.rng.choice(pool, size=n)
         return "".join(chars).strip() or pool[0]
 
+    # ------------------------------------------- structured text sampling
+    # Real pages (receipts, lab tables, boarding passes, shareholder
+    # registers) are dominated by English-ish words, grouped integers,
+    # decimals/percentages, dates, times, and alphanumeric codes — not
+    # uniform glyph soup. Uniform sampling gives the CTC head a flat prior,
+    # so at inference it freely substitutes visually-similar rare glyphs
+    # (0→ð, 1→↿, ×→⚔) on exactly the text users photograph most. These
+    # generators mirror the real token mix; the soup path stays (at
+    # 1-structured_frac) so tail glyphs keep nonzero coverage.
+
+    def _digit_run(self, n: int) -> str:
+        return "".join(self.rng.choice(list("0123456789"), size=n))
+
+    def _number_token(self) -> str:
+        rng = self.rng
+        r = rng.random()
+        if r < 0.16:  # comma-grouped integer: 75,103 / 652,418,000
+            s = str(int(rng.integers(1, 1000)))
+            for _ in range(int(rng.integers(1, 4))):
+                s += "," + self._digit_run(3)
+            return s
+        if r < 0.34:  # decimal, optionally a percentage: 15.40 / 3.3220%
+            s = f"{int(rng.integers(0, 100))}.{self._digit_run(int(rng.integers(1, 5)))}"
+            return s + "%" if rng.random() < 0.45 else s
+        if r < 0.46:  # date: 2012-10-23 / 10-08-06 / 03DEC
+            if rng.random() < 0.3:
+                mon = ["JAN", "FEB", "MAR", "APR", "MAY", "JUN", "JUL",
+                       "AUG", "SEP", "OCT", "NOV", "DEC"]
+                return f"{int(rng.integers(1, 29)):02d}" + \
+                    mon[int(rng.integers(0, 12))]
+            y = rng.choice(["19" + self._digit_run(2),
+                            "20" + self._digit_run(2), self._digit_run(2)])
+            return f"{y}-{int(rng.integers(1, 13)):02d}-" \
+                f"{int(rng.integers(1, 29)):02d}"
+        if r < 0.56:  # time: 12:43:15 / 11:23
+            s = f"{int(rng.integers(0, 24)):02d}:{int(rng.integers(0, 60)):02d}"
+            return s + f":{int(rng.integers(0, 60)):02d}" \
+                if rng.random() < 0.5 else s
+        if r < 0.72:  # alphanumeric code: Z57A001950 / G7512 / ETKT78136
+            n = int(rng.integers(3, 12))
+            pool = list(string.ascii_uppercase + string.digits * 2)
+            return "".join(rng.choice(pool, size=n))
+        if r < 0.82:  # range: 0--40 / 114--240 (lab reference columns)
+            a, b = sorted([int(rng.integers(0, 250)),
+                           int(rng.integers(0, 250))])
+            return f"{a}{rng.choice(['-', '--'])}{b}"
+        if r < 0.9:  # plain integer run (IDs, counters)
+            return self._digit_run(int(rng.integers(2, 12)))
+        # arithmetic worksheet line: 2.4×0.2=
+        cs = self._charset_set
+        ops = [o for o in ("×", "÷", "+", "-", "*", "/") if o in cs] or ["+"]
+        def num():
+            if rng.random() < 0.6:
+                return f"{int(rng.integers(0, 10))}.{self._digit_run(int(rng.integers(1, 3)))}"
+            return str(int(rng.integers(0, 101)))
+        return f"{num()}{rng.choice(ops)}{num()}="
+
+    def _word_token(self) -> str:
+        rng = self.rng
+        w = self._lexicon[int(rng.integers(len(self._lexicon)))]
+        r = rng.random()
+        if r < 0.55:
+            return w
+        if r < 0.8:
+            return w.capitalize()
+        return w.upper()
+
+    def random_structured(self, max_len: int,
+                          font_key: Tuple[str, int]) -> str:
+        """A words/numbers line ≤ max_len chars every char of which the
+        chosen font draws (falls back to '' when nothing fits)."""
+        rng = self.rng
+        fset = self._font_sets[font_key]
+        numeric = rng.random() < 0.45  # table/receipt column flavor
+        parts: List[str] = []
+        for _ in range(12):
+            cur = len(" ".join(parts))
+            if cur >= max_len - 1:
+                break
+            if numeric:
+                tok = self._number_token() if rng.random() < 0.8 \
+                    else self._word_token()
+            else:
+                tok = self._word_token() if rng.random() < 0.8 \
+                    else self._number_token()
+            if rng.random() < 0.12:  # trailing punctuation
+                tok += str(rng.choice([",", ".", ":", ";", ")"]))
+            if not all(c in fset for c in tok):
+                continue
+            if cur + bool(parts) + len(tok) > max_len:
+                if parts:
+                    break
+                tok = tok[:max_len]
+                if not all(c in fset for c in tok):
+                    continue
+            parts.append(tok)
+            if rng.random() < 0.35 and parts:
+                break
+        return " ".join(parts).strip()
+
     def sample_line(self, max_len: int = 18) -> Tuple[str, Tuple[str, int]]:
         """Pick a font, then text the font can fully draw."""
         key = self._pick_font()
+        if self.rng.random() < self.structured_frac:
+            text = self.random_structured(max_len, key)
+            if text:
+                return text, key
         return self.random_text(max_len, font_key=key), key
 
     def render_line(self, text: str, height: int = 48,
@@ -379,15 +552,103 @@ class TextRenderer:
         mask = np.ones((size, size), np.float32)
         return page, shrink_map, mask
 
+    # -------------------------------------------------- table det pages
+    def det_page_table(self, size: int = 320, shrink: float = 0.7
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Ruled-table page: grid/rule lines with short aligned cell texts
+        (numeric-heavy). Documents like lab reports and shareholder
+        registers are tables of small tokens separated by rules — the
+        random-placement renderers never teach that text sits INSIDE line
+        art, so the detector learned to suppress exactly those regions."""
+        import cv2
+        rng = self.rng
+        bg = int(rng.integers(170, 256))
+        page = np.full((size, size, 3), bg, np.uint8)
+        page = np.clip(page.astype(np.float32) +
+                       rng.normal(0, 3, page.shape), 0, 255).astype(np.uint8)
+        rows = int(rng.integers(3, 8))
+        cols = int(rng.integers(2, 6))
+        x_edges = np.linspace(int(rng.integers(0, 16)),
+                              size - int(rng.integers(1, 16)),
+                              cols + 1).astype(int)
+        y_edges = np.linspace(int(rng.integers(0, 16)),
+                              size - int(rng.integers(1, 16)),
+                              rows + 1).astype(int)
+        rule_col = int(rng.integers(0, 120))
+        style = rng.random()  # full grid / horizontal rules / no rules
+        thick = int(rng.integers(1, 3))
+        if style < 0.45:
+            for x in x_edges:
+                cv2.line(page, (x, y_edges[0]), (x, y_edges[-1]),
+                         (rule_col,) * 3, thick)
+        if style < 0.8:
+            for y in y_edges:
+                cv2.line(page, (x_edges[0], y), (x_edges[-1], y),
+                         (rule_col,) * 3, thick)
+        shrink_map = np.zeros((size, size), np.float32)
+        n_cells = rows * cols
+        fill = rng.uniform(0.4, 0.9)
+        cells = [(r, c) for r in range(rows) for c in range(cols)]
+        rng.shuffle(cells)
+        budget = 16  # render_line calls are the 1-core host's step cost
+        for r, c in cells[:min(n_cells, budget)]:
+            if rng.random() > fill:
+                continue
+            cx0, cx1 = x_edges[c] + thick + 1, x_edges[c + 1] - thick - 1
+            cy0, cy1 = y_edges[r] + thick + 1, y_edges[r + 1] - thick - 1
+            ch_, cw_ = cy1 - cy0, cx1 - cx0
+            if ch_ < 11 or cw_ < 14:
+                continue
+            key = self._pick_font()
+            if rng.random() < 0.75:
+                text = self._number_token()
+            else:
+                text = self.random_structured(10, key) or \
+                    self._digit_run(4)
+            fset = self._font_sets[key]
+            if not all(ch in fset for ch in text):
+                text = self._digit_run(int(rng.integers(2, 7)))
+            h = int(min(ch_, rng.integers(11, 26)))
+            line = self.render_line(text, h, max(10, cw_), font_key=key)
+            lh, lw = line.shape[:2]
+            if lh > ch_ or lw > cw_:
+                continue
+            # align left/center/right inside the cell, like real columns
+            a = rng.random()
+            x0 = cx0 if a < 0.4 else \
+                cx0 + (cw_ - lw) // 2 if a < 0.75 else cx1 - lw
+            y0 = cy0 + (ch_ - lh) // 2
+            region = shrink_map[y0:y0 + lh, x0:x0 + lw]
+            if region.sum() != 0:
+                continue
+            page[y0:y0 + lh, x0:x0 + lw] = line
+            d = (lw * lh) * shrink ** 2 / (2 * (lw + lh))
+            di = max(1, int(d))
+            sx0, sy0 = x0 + di, y0 + di
+            sx1, sy1 = x0 + lw - di, y0 + lh - di
+            if sx1 > sx0 and sy1 > sy0:
+                shrink_map[sy0:sy1, sx0:sx1] = 1.0
+        # mild photometric jitter (scans vary in exposure)
+        gain = rng.uniform(0.8, 1.1)
+        page = np.clip(page.astype(np.float32) * gain +
+                       rng.uniform(-15, 15), 0, 255).astype(np.uint8)
+        if rng.random() < 0.25:
+            page = cv2.GaussianBlur(page, (3, 3), 0)
+        mask = np.ones((size, size), np.float32)
+        return page, shrink_map, mask
+
     def det_batch(self, batch: int, size: int = 320,
-                  hard_frac: float = 0.0):
+                  hard_frac: float = 0.0, table_frac: float = 0.0):
         from ..ops import det_pre
         imgs = np.zeros((batch, size, size, 3), np.float32)
         maps = np.zeros((batch, size, size), np.float32)
         masks = np.zeros((batch, size, size), np.float32)
         for i in range(batch):
-            if self.rng.random() < hard_frac:
+            u = self.rng.random()
+            if u < hard_frac:
                 page, smap, mask = self.det_page_hard(size)
+            elif u < hard_frac + table_frac:
+                page, smap, mask = self.det_page_table(size)
             else:
                 page, smap, mask = self.det_page(size)
             imgs[i] = (page.astype(np.float32) / 255.0 -

@@ -33,6 +33,48 @@ def test_rec_batch_encodes_dict_indices(renderer):
     assert ((labels > 0) | (pads == 1.0)).all()
 
 
+def test_structured_lines_renderable_and_bounded():
+    from onnxocr_tpu.train import synth
+    from onnxocr_tpu import config as cfg
+    c2i = synth.charset_from_dict(
+        cfg.find_asset("ppocrv5/ppocrv5_dict.txt"), charset=None)
+    r = synth.TextRenderer(char_to_idx=c2i, seed=3, structured_frac=1.0)
+    assert len(r._lexicon) >= 200  # harvested or fallback word list
+    ascii_ish = 0
+    for _ in range(60):
+        text, fkey = r.sample_line(14)
+        assert 0 < len(text) <= 14
+        assert all(c in r._font_sets[fkey] for c in text)
+        # every char must map to a dict index (encode() silently drops
+        # unmapped chars, which would mislabel the rendered image)
+        assert len(r.encode(text)) == len([c for c in text if c != " "]) \
+            or " " in c2i
+        ascii_ish += all(ord(c) < 128 for c in text)
+    # structured lines are overwhelmingly ASCII (the real-corpus mix)
+    assert ascii_ish >= 50
+
+
+def test_det_page_table_geometry():
+    from onnxocr_tpu.train import synth
+    r = synth.TextRenderer(seed=5, structured_frac=0.5)
+    for _ in range(3):
+        page, smap, mask = r.det_page_table(320)
+        assert page.shape == (320, 320, 3) and page.dtype == np.uint8
+        assert smap.shape == (320, 320) and mask.shape == (320, 320)
+        assert set(np.unique(smap)) <= {0.0, 1.0}
+    # table pages usually contain text (shrink map nonempty)
+    hits = sum(r.det_page_table(320)[1].sum() > 0 for _ in range(5))
+    assert hits >= 3
+
+
+def test_det_batch_table_frac_mix():
+    from onnxocr_tpu.train import synth
+    r = synth.TextRenderer(seed=6)
+    imgs, maps, masks = r.det_batch(2, 160, hard_frac=0.3, table_frac=0.5)
+    assert imgs.shape == (2, 160, 160, 3)
+    assert masks.min() == 1.0
+
+
 def test_drawable_filter():
     from onnxocr_tpu.train.synth import _drawable
     assert _drawable("a") and _drawable(" ") and _drawable("Ω")

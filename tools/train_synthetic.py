@@ -29,7 +29,7 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
               arch: str = "svtr", dict_rel: str = "ppocrv5/ppocrv5_dict.txt",
               use_space: bool = True, init_from: str = "",
               widths: tuple = (), charset: str = "full", seed: int = 0,
-              max_len: int = 14):
+              max_len: int = 14, structured_frac: float = 0.0):
     from onnxocr_tpu import config as cfg
     from onnxocr_tpu.train import synth, rec_trainer
     from onnxocr_tpu.models import svtr, crnn
@@ -43,8 +43,10 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
     c2i = synth.charset_from_dict(
         dict_path,
         charset=None if charset == "full" else synth.DEFAULT_CHARSET)
-    renderer = synth.TextRenderer(char_to_idx=c2i, seed=seed)
-    renderer2 = synth.TextRenderer(char_to_idx=c2i, seed=seed + 1000)
+    renderer = synth.TextRenderer(char_to_idx=c2i, seed=seed,
+                                  structured_frac=structured_frac)
+    renderer2 = synth.TextRenderer(char_to_idx=c2i, seed=seed + 1000,
+                                   structured_frac=structured_frac)
     print(f"arch={arch} vocab={vocab} dict-mapped={len(c2i)} "
           f"renderable={len(renderer.charset)}")
 
@@ -156,15 +158,18 @@ def _graft_matching(dst, src):
 
 def train_det(steps: int, batch: int, size: int, lr: float, out: str,
               arch: str = "mbv3", seed: int = 0, init_from: str = "",
-              hard_frac: float = 0.0):
+              hard_frac: float = 0.0, table_frac: float = 0.0,
+              structured_frac: float = 0.0):
     from onnxocr_tpu import config as cfg
     from onnxocr_tpu.train import synth, det_trainer
     from onnxocr_tpu.utils import params_io
 
     dict_path = cfg.find_asset("ppocrv5/ppocrv5_dict.txt")
     c2i = synth.charset_from_dict(dict_path, charset=None)
-    renderer = synth.TextRenderer(char_to_idx=c2i, seed=seed + 1)
-    renderer2 = synth.TextRenderer(char_to_idx=c2i, seed=seed + 1001)
+    renderer = synth.TextRenderer(char_to_idx=c2i, seed=seed + 1,
+                                  structured_frac=structured_frac)
+    renderer2 = synth.TextRenderer(char_to_idx=c2i, seed=seed + 1001,
+                                   structured_frac=structured_frac)
 
     rng = jax.random.PRNGKey(seed)
     params, optimizer, opt_state = det_trainer.init_training(
@@ -186,7 +191,8 @@ def train_det(steps: int, batch: int, size: int, lr: float, out: str,
 
     def producer(r, n_items):
         for _ in range(n_items):
-            q.put(r.det_batch(half, size, hard_frac=hard_frac))
+            q.put(r.det_batch(half, size, hard_frac=hard_frac,
+                              table_frac=table_frac))
 
     # two half-batch producers; the consumer stitches pairs
     threading.Thread(target=producer, args=(renderer, steps),
@@ -240,6 +246,12 @@ if __name__ == "__main__":
     ap.add_argument("--hard-frac", type=float, default=0.0,
                     help="fraction of det pages drawn from the photo-ish "
                          "hard renderer (textured bg, clutter, jitter)")
+    ap.add_argument("--table-frac", type=float, default=0.0,
+                    help="fraction of det pages drawn as ruled tables "
+                         "with aligned numeric cells")
+    ap.add_argument("--structured-frac", type=float, default=0.0,
+                    help="probability a sampled line is words/numbers "
+                         "structured text instead of uniform glyph soup")
     args = ap.parse_args()
     if args.which == "rec":
         out = args.out or asset_dir("ppocrv5", "rec", "native_params.npz")
@@ -248,9 +260,12 @@ if __name__ == "__main__":
                   arch=args.arch, dict_rel=args.dict_rel,
                   use_space=not args.no_space, init_from=args.init_from,
                   widths=widths, charset=args.charset, seed=args.seed,
-                  max_len=args.max_len)
+                  max_len=args.max_len,
+                  structured_frac=args.structured_frac)
     else:
         out = args.out or asset_dir("ppocrv5", "det", "native_params.npz")
         train_det(args.steps, args.batch, args.size, args.lr, out,
                   arch=args.det_arch, seed=args.seed,
-                  init_from=args.init_from, hard_frac=args.hard_frac)
+                  init_from=args.init_from, hard_frac=args.hard_frac,
+                  table_frac=args.table_frac,
+                  structured_frac=args.structured_frac)
