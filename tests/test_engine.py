@@ -101,3 +101,20 @@ def test_concurrency_semaphore_limits(engine):
 
     _run(fire())
     assert max(peak) <= engine.concurrency
+
+
+def test_v4_family_checkpoints_load_without_fallback():
+    """PP-OCRv4 det/rec have their own committed checkpoints (round-3):
+    resolve_backend must load them directly, with no family-fallback
+    warning (VERDICT r2 #3)."""
+    import warnings
+    from onnxocr_tpu import config as cfg
+    from onnxocr_tpu.pipeline import backends
+
+    for kind, rel, arch in (("det", "ppocrv4/det/det.onnx", "mbv3"),
+                            ("rec", "ppocrv4/rec/rec.onnx", "svtr")):
+        path = cfg.find_asset(rel)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # any fallback warning fails
+            params = backends._load_native_params(path, kind, arch)
+        assert params is not None, f"no {kind} checkpoint at {path}"
