@@ -267,11 +267,21 @@ def main():
     if det_b is not None and det_b.post is None and remaining() > 60:
         STATE["phase"] = "warmup-ladder"
         cap = det_b.canvas[0] if det_b.canvas else 960
+        # device det-resize mode (submit_bits_dev): waves are FLOAT32
+        # normalized canvases stacked on device — warm the f32 forward
+        # ladder AND the canonical single-row concat programs the
+        # MicroBatcher emits
+        dev_mode = det_b.canvas is not None and det_b.wire == "bits"
+        dt = np.float32 if dev_mode else np.uint8
+        import jax.numpy as jnp
         for n in (2, 4, 8):
             if remaining() < 50:
                 break
-            note("warmup det ladder %d" % n)
-            batch = {"pages": np.zeros((n, cap, cap, 3), np.uint8),
+            note("warmup det ladder %d%s" % (n, " (f32)" if dev_mode else ""))
+            if dev_mode:
+                row = jnp.zeros((1, cap, cap, 3), jnp.float32)
+                np.asarray(jnp.concatenate([row] * n, axis=0)[0, 0, 0])
+            batch = {"pages": np.zeros((n, cap, cap, 3), dt),
                      "rhw": np.tile(np.array([[cap, cap]], np.int32),
                                     (n, 1))}
             out = det_b.batcher.fn(batch)

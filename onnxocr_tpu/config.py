@@ -232,6 +232,12 @@ DEFAULTS = {
     # up to tpu_microbatch_wait_ms latency per call, so it defaults off for
     # the library and is enabled by the serving engine / batch layer.
     "tpu_det_microbatch": False,
+    # Batched det input source (bits wire + fixed canvas only): 'device'
+    # resizes each page's det canvas ON TPU from the HBM-resident source
+    # the crop warps already use (DetPageBatcher.submit_bits_dev — no
+    # second ~2.7 MB/page canvas upload); 'host' keeps the cv2-resize +
+    # upload path (exact reference resize arithmetic).
+    "tpu_det_batch_input": "device",
     # Cross-request cls+rec crop batching: concurrent pages' crop chunks of
     # the same (source bucket, width bucket) coalesce into one fused
     # warp→cls→warp→rec device call (runtime/batcher.RecCropBatcher over

@@ -232,15 +232,23 @@ class DetForward(_ParamsAsArgs):
         return self._jit_pages_u8(self.pdev, batch)
 
     def make_pages_bits_fn(self, thresh: float):
-        """Batched bitmap-wire det: {"pages": (B, Hb, Wb, 3) uint8,
-        "rhw": (B, 2) int32} → (bits (B, Hb, Wb//8) uint8, probs
-        (B, Hb, Wb) f32). Only the bits cross the wire (the batcher's
-        to_host keeps probs device-resident for the deferred scoring
-        call); per-page wire cost drops from ~0.9 MB to ~115 KB."""
+        """Batched bitmap-wire det: {"pages": (B, Hb, Wb, 3) uint8 raw
+        canvases OR (B, Hb, Wb, 3) float32 already-normalized canvases
+        (the device det-resize path — resize_dev.resize_normalize_det
+        output), "rhw": (B, 2) int32} → (bits (B, Hb, Wb//8) uint8,
+        probs (B, Hb, Wb) f32). Only the bits cross the wire (the
+        batcher's to_host keeps probs device-resident for the deferred
+        scoring call); per-page wire cost drops from ~0.9 MB to ~115 KB.
+        The dtype branch resolves at trace time, so u8 (host-resized) and
+        f32 (device-resized) waves compile as separate programs and
+        coexist in one batcher."""
 
         def fn(p, batch):
             pages, rhw = batch["pages"], batch["rhw"]
-            x = det_pre.normalize_det(pages).astype(self.dtype)
+            if pages.dtype == jnp.uint8:
+                x = det_pre.normalize_det(pages).astype(self.dtype)
+            else:
+                x = pages.astype(self.dtype)
             if self.backend == "native":
                 prob = dbnet.apply(p, x, backbone_arch=self.arch,
                                    valid_hw=(rhw[:, 0], rhw[:, 1]))

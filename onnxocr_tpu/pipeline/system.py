@@ -129,8 +129,17 @@ class TextSystem:
             if batcher is not None and batcher.wire == "bits":
                 # cross-request path: the wave's det forwards coalesce and
                 # its bitpacked bitmaps download as ONE transfer
-                bitmap, prob_dev, (rh, rw), _info = \
-                    batcher.submit_bits(img)
+                if batcher.canvas is not None and \
+                        getattr(self.args, "tpu_det_batch_input",
+                                "device") == "device":
+                    # det canvas produced ON DEVICE from the HBM source
+                    # (resize_dev) — kills the ~2.7 MB/page second upload
+                    # the host-resize path pays
+                    bitmap, prob_dev, (rh, rw), _info = \
+                        batcher.submit_bits_dev(image_dev, src_h, src_w)
+                else:
+                    bitmap, prob_dev, (rh, rw), _info = \
+                        batcher.submit_bits(img)
             else:
                 rh, rw = det_pre.det_resize_target(
                     src_h, src_w, det.limit_side_len, det.limit_type)

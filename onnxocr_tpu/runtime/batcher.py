@@ -61,9 +61,14 @@ class MicroBatcher:
 
     def submit(self, item):
         """Blocking: item — an array (B, ...) or a pytree of arrays sharing
-        the leading batch dim — → fn's output sliced back to B rows."""
+        the leading batch dim — → fn's output sliced back to B rows.
+        jax.Array leaves stay DEVICE-resident (the device det-resize path
+        submits HBM canvases; forcing np.asarray would round-trip ~11 MB
+        per page over the tunnel)."""
         import jax
-        work = _Work(jax.tree_util.tree_map(np.asarray, item))
+        work = _Work(jax.tree_util.tree_map(
+            lambda a: a if isinstance(a, jax.Array) else np.asarray(a),
+            item))
         self._q.put(work)
         work.event.wait()
         if work.error is not None:
@@ -120,6 +125,28 @@ class MicroBatcher:
                     bsz = n
 
                 def stack(*leaves):
+                    if isinstance(leaves[0], jax.Array):
+                        # device-resident leaves concatenate ON DEVICE.
+                        # Program economy: when every item is one row
+                        # (the det page case), pad the PARTS LIST with
+                        # single-row zeros so the concat program's shape
+                        # is always (bsz × 1-row) — compile axis = the
+                        # batch ladder, never the wave composition.
+                        import jax.numpy as jnp
+                        parts = list(leaves)
+                        if all(p.shape[0] == 1 for p in parts):
+                            pad_row = None
+                            while len(parts) < bsz:
+                                if pad_row is None:
+                                    pad_row = jnp.zeros(
+                                        parts[0].shape, parts[0].dtype)
+                                parts.append(pad_row)
+                        elif bsz > n:
+                            parts.append(jnp.zeros(
+                                (bsz - n,) + leaves[0].shape[1:],
+                                leaves[0].dtype))
+                        return parts[0] if len(parts) == 1 else \
+                            jnp.concatenate(parts, axis=0)
                     out = np.concatenate(leaves, axis=0)
                     if bsz > n:
                         pad = np.zeros((bsz - n,) + out.shape[1:],
@@ -206,6 +233,7 @@ class DetPageBatcher:
             batch_ladder = tuple(sorted({
                 max(n_data, ((b + n_data - 1) // n_data) * n_data)
                 for b in batch_ladder}))
+        self.dev_submits = 0  # pages served via submit_bits_dev
         self.batcher = MicroBatcher(fn,
                                     max_batch=batch_ladder[-1],
                                     max_wait_ms=max_wait_ms,
@@ -289,6 +317,36 @@ class DetPageBatcher:
              "rhw": np.array([[rh, rw]], np.int32)})
         bitmap = det_pre.unpack_bitmap(
             np.asarray(bits_rows[0][:rh, :(rw + 7) // 8]), rw)
+        return bitmap, prob_rows[0], (rh, rw), shape_info
+
+    def submit_bits_dev(self, image_dev, src_h: int, src_w: int):
+        """Bitmap-wire submit from the HBM-RESIDENT source (device
+        det-resize): the det canvas is produced on device by
+        resize_dev.resize_normalize_det from the source image the crop
+        warps already use, so NO second per-page canvas upload happens
+        (the host-resize submit_bits path re-uploads ~2.7 MB/page over
+        a ~16-25 MB/s tunnel — the dominant serial det cost).
+
+        image_dev: (Hs, Ws, 3) uint8 source, padded to its source bucket.
+        Returns (bitmap (rh, rw) uint8 0/1, prob map DEVICE row,
+        (rh, rw), shape_info) — same contract as submit_bits.
+        """
+        import jax.numpy as jnp
+        from ..ops import det_pre, resize_dev
+        assert self.wire == "bits" and self.canvas is not None
+        rh, rw = det_pre.det_resize_target(
+            src_h, src_w, self.limit_side_len, self.limit_type)
+        cap_h, cap_w = self.canvas
+        x = resize_dev.resize_normalize_det(
+            image_dev, jnp.int32(src_h), jnp.int32(src_w),
+            jnp.int32(rh), jnp.int32(rw), cap_h, cap_w)
+        self.dev_submits += 1
+        bits_rows, prob_rows = self.batcher.submit(
+            {"pages": x[None], "rhw": np.array([[rh, rw]], np.int32)})
+        bitmap = det_pre.unpack_bitmap(
+            np.asarray(bits_rows[0][:rh, :(rw + 7) // 8]), rw)
+        shape_info = np.array([src_h, src_w, rh / float(src_h),
+                               rw / float(src_w)], np.float32)
         return bitmap, prob_rows[0], (rh, rw), shape_info
 
     def submit_boxes(self, img: np.ndarray) -> np.ndarray:

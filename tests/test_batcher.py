@@ -99,19 +99,42 @@ def test_batch_padding_is_invisible():
         mb.close()
 
 
-def test_det_page_batcher_parity(test_image):
+def _render_strong_page(seed: int = 41, size: int = 640) -> np.ndarray:
+    """High-contrast synthetic page whose det box scores sit far from
+    box_thresh: parity tests must not hinge on marginal boxes that flip
+    on ~1e-3 canvas-numerics differences (real scans like 1.jpg carry
+    hundreds of ~0.3-score speckle candidates and a lone ~0.6 box)."""
+    from onnxocr_tpu import config as cfg_mod
+    from onnxocr_tpu.train import synth
+
+    c2i = synth.charset_from_dict(
+        cfg_mod.find_asset("ppocrv5/ppocrv5_dict.txt"))
+    r = synth.TextRenderer(char_to_idx=c2i, seed=seed)
+    page = np.full((size, size, 3), 240, np.uint8)
+    y = 50
+    for n in (6, 9, 7):
+        line = r.render_line(r.random_text(n), 38, size - 60)
+        lh, lw = line.shape[:2]
+        page[y:y + lh, 30:30 + lw] = line
+        y += lh + 120
+    return page
+
+
+def test_det_page_batcher_parity():
     """Concurrent pages through DetPageBatcher produce the same boxes as
     the host-resize reference path (small conv-numerics tolerance: the
     batched program may pick different XLA conv algorithms)."""
     import concurrent.futures
     from onnxocr_tpu import ONNXPaddleOcr
 
+    page = _render_strong_page()
     host = ONNXPaddleOcr(use_angle_cls=False, tpu_det_input="host")
     batched = ONNXPaddleOcr(use_angle_cls=False, tpu_det_microbatch=True)
-    ref = np.asarray(host.ocr(test_image, rec=False)[0], np.float32)
+    ref = np.asarray(host.ocr(page, rec=False)[0], np.float32)
+    assert ref.shape[0] >= 3  # the page must actually detect
     with concurrent.futures.ThreadPoolExecutor(4) as pool:
         outs = list(pool.map(lambda im: batched.ocr(im, rec=False)[0],
-                             [test_image] * 4))
+                             [page] * 4))
     for b in outs:
         b = np.asarray(b, np.float32)
         assert b.shape == ref.shape
@@ -243,6 +266,30 @@ def test_det_bits_batcher_e2e_parity(test_image):
         np.testing.assert_allclose(
             np.array([l[1][1] for l in out]),
             np.array([l[1][1] for l in ref]), atol=2e-3)
+
+
+def test_det_bits_batcher_device_input_parity():
+    """submit_bits_dev (det canvas resized ON DEVICE from the HBM source,
+    no second per-page upload) must match the host-resize batched path
+    (tpu_det_batch_input='host')."""
+    from onnxocr_tpu import ONNXPaddleOcr
+
+    page = _render_strong_page(seed=43)
+    host_m = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0,
+                           tpu_det_microbatch=True,
+                           tpu_det_batch_input="host")
+    dev_m = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0,
+                          tpu_det_microbatch=True,
+                          tpu_det_batch_input="device")
+    ref = host_m.ocr(page)[0]
+    assert len(ref) >= 3
+    out = dev_m.ocr(page)[0]
+    assert host_m.text_detector._page_batcher.dev_submits == 0
+    assert dev_m.text_detector._page_batcher.dev_submits >= 1
+    assert [l[1][0] for l in out] == [l[1][0] for l in ref]
+    rb = np.array([l[0] for l in ref], np.float64)
+    gb = np.array([l[0] for l in out], np.float64)
+    assert rb.shape == gb.shape and np.abs(rb - gb).max() <= 1.0
 
 
 def test_scored_rec_batcher_parity():
