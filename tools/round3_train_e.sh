@@ -46,4 +46,15 @@ seg det 150 $DC $DC --size 320 --lr 1e-4 --hard-frac 0.25 \
 seg det 150 $DC $DC --size 320 --lr 5e-5 --hard-frac 0.25 \
   --table-frac 0.3 --structured-frac 0.6
 
+# === JOB 3: server det (resnet18) — continue from part D's 300 steps;
+# 0.131 held-out recall at the part-D gate (vs 0.311 mbv3): undertrained,
+# NOT committed. Add structured/table segments before re-gating.
+SD=onnxocr_tpu/assets/ch_ppocr_server_v2.0/det/native_params.npz
+seg det 150 $SD $SD --det-arch resnet18 --size 320 --lr 3e-4 \
+  --hard-frac 0.25 --table-frac 0.3 --structured-frac 0.6
+seg det 150 $SD $SD --det-arch resnet18 --size 320 --lr 2e-4 \
+  --hard-frac 0.25 --table-frac 0.3 --structured-frac 0.6
+seg det 150 $SD $SD --det-arch resnet18 --size 320 --lr 1e-4 \
+  --hard-frac 0.25 --table-frac 0.3 --structured-frac 0.6
+
 echo "=== ROUND-3 PART E DONE ==="
