@@ -209,9 +209,14 @@ def main():
     # Serial latency is measured through the same instance (the batchers
     # add <=wait_ms).
     STATE["phase"] = "model-init"
+    # BENCH_PIPELINE=onecall measures the one-call pipeline (det→boxes→
+    # cls→rec in ONE program, a single download per image) instead of the
+    # staged serving config — an A/B knob, not the default.
+    pipeline_mode = os.environ.get("BENCH_PIPELINE", "staged")
     model = ONNXPaddleOcr(use_angle_cls=True, use_gpu=False, drop_score=0.0,
-                          tpu_det_microbatch=True,
-                          tpu_rec_microbatch=True,
+                          tpu_det_microbatch=pipeline_mode != "onecall",
+                          tpu_rec_microbatch=pipeline_mode != "onecall",
+                          tpu_pipeline=pipeline_mode,
                           tpu_allow_untrained=not real_weights)
 
     if not real_weights:
