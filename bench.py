@@ -93,6 +93,7 @@ def build_output():
         "unit": "images/sec/chip",
         "vs_baseline": round(value / BASELINE_IPS, 2),
         "mode": STATE.get("mode"),
+        "pipeline": STATE.get("pipeline"),
         "images": STATE.get("images"),
         "threads": PIPELINE_THREADS,
         "budget_s": BUDGET_S,
@@ -209,10 +210,14 @@ def main():
     # Serial latency is measured through the same instance (the batchers
     # add <=wait_ms).
     STATE["phase"] = "model-init"
-    # BENCH_PIPELINE=onecall measures the one-call pipeline (det→boxes→
-    # cls→rec in ONE program, a single download per image) instead of the
-    # staged serving config — an A/B knob, not the default.
-    pipeline_mode = os.environ.get("BENCH_PIPELINE", "staged")
+    # Default serving pipeline on the tunneled TPU: onecall (det→boxes→
+    # cls→rec in ONE program, a single download per image). Measured
+    # A/B (scratch/bench_onecall2 vs bench_r3j, same weather): onecall
+    # 3.78 img/s with 3.76-3.79 round spread vs staged 2.34 median with
+    # 0.86-4.81 spread — one download per image makes it squall-immune.
+    # BENCH_PIPELINE=staged restores the batched multi-call config.
+    pipeline_mode = os.environ.get("BENCH_PIPELINE", "onecall")
+    STATE["pipeline"] = pipeline_mode
     model = ONNXPaddleOcr(use_angle_cls=True, use_gpu=False, drop_score=0.0,
                           tpu_det_microbatch=pipeline_mode != "onecall",
                           tpu_rec_microbatch=pipeline_mode != "onecall",
@@ -396,8 +401,13 @@ def main():
         det_ms = min((v for k, v in dev_ms.items()
                       if k.startswith("det")), default=None)
         fused_ms = dev_ms.get("fused_scored")
-        if det_ms is not None and fused_ms is not None:
+        if dev_ms.get("onecall") is not None:
+            per_img = dev_ms["onecall"]
+        elif det_ms is not None and fused_ms is not None:
             per_img = det_ms + fused_ms
+        else:
+            per_img = None
+        if per_img is not None:
             STATE["device_ms_per_image"] = round(per_img, 1)
             if STATE.get("round_ips"):
                 ips = statistics.median(STATE["round_ips"])

@@ -192,10 +192,14 @@ class OneCallPipeline:
         cls_p = self.fused.cls_forward.pdev if \
             (use_cls and self.fused.cls_forward is not None) else {}
         rec_p = self.fused.rec_forward.pdev
-        packed = np.asarray(fn(
-            det_p, cls_p, rec_p,
-            image_dev, jnp.int32(src_h), jnp.int32(src_w), jnp.int32(rh),
-            jnp.int32(rw), out_h=hb, out_w=wb))
+        args = (det_p, cls_p, rec_p,
+                image_dev, jnp.int32(src_h), jnp.int32(src_w),
+                jnp.int32(rh), jnp.int32(rw))
+        from ..utils.profiling import CAPTURE
+        CAPTURE.record("onecall",
+                       lambda *a, _f=fn, _h=hb, _w=wb:
+                       _f(*a, out_h=_h, out_w=_w), args)
+        packed = np.asarray(fn(*args, out_h=hb, out_w=wb))
         n_valid = int(packed[-1, 0])
         if n_valid > self.k_rec:
             return None  # staged fallback handles the overflow page

@@ -78,7 +78,20 @@ class EngineManager:
             # cls+rec call, and the host hop costs more than it saves when
             # device<->host bandwidth is the bottleneck (tunneled TPU).
             kwargs["tpu_fused_cls_rec"] = False
+        if self._pipeline_mode == "onecall":
+            # PIPELINE_MODE=onecall: one device program + one download per
+            # page (pipeline/onecall.py) instead of the staged multi-call
+            # path — squall-immune on high-RTT links (bench A/B in
+            # PROGRESS.md); overflow pages fall back to staged.
+            kwargs["tpu_pipeline"] = "onecall"
+            kwargs.pop("tpu_det_microbatch", None)
+            kwargs.pop("tpu_rec_microbatch", None)
         return kwargs
+
+    @property
+    def _pipeline_mode(self) -> str:
+        import os
+        return os.environ.get("PIPELINE_MODE", "staged")
 
     @property
     def _det_batch(self) -> bool:
