@@ -187,6 +187,12 @@ DEFAULTS = {
     # HBM image the crop warps read (one upload per image); 'host' uses
     # cv2.resize + a separate upload (exact reference resize arithmetic).
     "tpu_det_input": "device",
+    # Source upload wire: 'flat' uploads only the image CONTENT (1-D
+    # length ladder, ~15% mean pad waste) and reconstructs the edge-padded
+    # canvas on device (resize_dev.put_src_bucket — bit-identical to the
+    # host pad); 'padded' uploads the full 2-D bucket canvas (up to +50%
+    # bytes + a host edge-pad copy); 'auto' = flat on TPU, padded on CPU.
+    "tpu_src_upload": "auto",
     # Fuse cls forward + rotation select + rec forward into ONE device call
     # per width bucket (the 180° flip is applied by homography selection on
     # device instead of a host round trip between cls and rec).

@@ -113,3 +113,63 @@ def pad_src_bucket(img: np.ndarray) -> Tuple[np.ndarray, int, int]:
         return np.ascontiguousarray(img), h, w
     out = np.pad(img, ((0, hb - h), (0, wb - w), (0, 0)), mode="edge")
     return out, h, w
+
+
+# ----------------------------------------------------------- flat upload
+# 2-D bucket padding wastes upload bytes (a 968×724 page pads to 1024² —
+# +50%) and costs a host edge-pad copy of the whole image on the 1-core
+# host. The flat path uploads only the CONTENT (row-major, padded to a
+# geometric 1-D length ladder, ~15% mean waste) and reconstructs the
+# edge-padded 2-D canvas ON DEVICE with one clamp-gather per
+# (length-bucket, canvas) pair — bit-identical to np.pad(mode='edge'),
+# so every downstream consumer (resize, warps, onecall) is unchanged.
+
+def _build_len_ladder(lo: int = 1 << 18, hi: int = 9_500_000,
+                      num: int = 4, den: int = 3) -> Tuple[int, ...]:
+    ladder = [lo]
+    while ladder[-1] < hi:
+        ladder.append(ladder[-1] * num // den)
+    return tuple(ladder)
+
+
+LEN_LADDER_PX = _build_len_ladder()
+
+
+def flat_len_bucket(npx: int) -> int:
+    for L in LEN_LADDER_PX:
+        if npx <= L:
+            return L
+    return LEN_LADDER_PX[-1] if npx <= LEN_LADDER_PX[-1] else npx
+
+
+@functools.partial(jax.jit, static_argnames=("hb", "wb"))
+def _unpack_src(flat_u8: jax.Array, h: jax.Array, w: jax.Array,
+                hb: int, wb: int) -> jax.Array:
+    """(L, 3) row-major content (valid h*w rows) → (hb, wb, 3) canvas with
+    edge replication beyond (h, w): out[y, x] = flat[min(y,h-1)*w +
+    min(x,w-1)] — exactly np.pad(mode='edge') semantics."""
+    yy = jnp.minimum(jnp.arange(hb), h - 1)[:, None]
+    xx = jnp.minimum(jnp.arange(wb), w - 1)[None, :]
+    idx = (yy * w + xx).reshape(-1)
+    return jnp.take(flat_u8, idx, axis=0).reshape(hb, wb, 3)
+
+
+def put_src_bucket(img: np.ndarray, mode: str = "auto"):
+    """Upload a BGR page and return (canvas_dev (hb, wb, 3) uint8 DEVICE,
+    src_h, src_w) — the HBM-resident source every device program gathers
+    from. mode: 'flat' (content-only upload + device unpack), 'padded'
+    (host edge-pad + full-canvas upload), 'auto' (flat on TPU, padded
+    elsewhere — CPU tests keep the zero-program path)."""
+    h, w = img.shape[:2]
+    use_flat = mode == "flat" or (mode == "auto" and
+                                  jax.default_backend() == "tpu")
+    if not use_flat:
+        padded, h, w = pad_src_bucket(img)
+        return jax.device_put(padded), h, w
+    hb, wb = src_bucket_shape(h, w)
+    L = flat_len_bucket(h * w)
+    flat = np.empty((L, 3), np.uint8)
+    flat[:h * w] = img.reshape(-1, 3)
+    fdev = jax.device_put(flat)
+    canvas = _unpack_src(fdev, jnp.int32(h), jnp.int32(w), hb, wb)
+    return canvas, h, w

@@ -171,8 +171,8 @@ class OneCallPipeline:
         or None when the page overflows K_rec (staged-path fallback)."""
         use_cls = bool(cls and self.fused.cls_forward is not None and
                        self.fused.idx180 is not None)
-        padded, src_h, src_w = resize_dev.pad_src_bucket(img)
-        image_dev = jax.device_put(padded)
+        image_dev, src_h, src_w = resize_dev.put_src_bucket(
+            img, getattr(self.args, "tpu_src_upload", "auto"))
         rh, rw = det_pre.det_resize_target(
             src_h, src_w, self.detector.limit_side_len,
             self.detector.limit_type)

@@ -122,8 +122,8 @@ class TextSystem:
         rec = self.text_recognizer
         pp = det.postprocess_op
         with timer.stage("img_upload"):
-            padded_src, src_h, src_w = resize_dev.pad_src_bucket(img)
-            image_dev = jax.device_put(padded_src)
+            image_dev, src_h, src_w = resize_dev.put_src_bucket(
+                img, getattr(self.args, "tpu_src_upload", "auto"))
         with timer.stage("det"):
             batcher = det._page_batcher
             if batcher is not None and batcher.wire == "bits":
@@ -278,8 +278,8 @@ class TextSystem:
             # quads cross the wire (ops/db_device.py)
             from ..ops import resize_dev
             with timer.stage("img_upload"):
-                padded_src, src_h, src_w = resize_dev.pad_src_bucket(img)
-                image_dev = jax.device_put(padded_src)
+                image_dev, src_h, src_w = resize_dev.put_src_bucket(
+                    img, getattr(self.args, "tpu_src_upload", "auto"))
             with timer.stage("det"):
                 raw = self.text_detector.infer_boxes_device(
                     image_dev, src_h, src_w)
@@ -299,8 +299,8 @@ class TextSystem:
             # crop warps read (ops/resize_dev.py)
             from ..ops import resize_dev
             with timer.stage("img_upload"):
-                padded_src, src_h, src_w = resize_dev.pad_src_bucket(img)
-                image_dev = jax.device_put(padded_src)
+                image_dev, src_h, src_w = resize_dev.put_src_bucket(
+                    img, getattr(self.args, "tpu_src_upload", "auto"))
             with timer.stage("det"):
                 prob, shape_info = \
                     self.text_detector.infer_prob_map_device(

@@ -136,3 +136,29 @@ def test_rec_image_shape_quirk():
                           tpu_det_bucket=160)
     # quirk #1: forced to 3,48,320 before kwargs overlay
     assert m.args.rec_image_shape == "3, 48, 320"
+
+
+def test_flat_src_upload_matches_host_pad():
+    """put_src_bucket('flat') reconstructs the edge-padded source canvas
+    bit-identically to np.pad(mode='edge') for assorted shapes, including
+    ladder boundaries — downstream resize/warp programs see the same
+    bytes, so the flat upload changes no result anywhere."""
+    from onnxocr_tpu.ops import resize_dev
+    rng = np.random.default_rng(9)
+    for (h, w) in [(37, 53), (512, 512), (700, 961), (481, 1290)]:
+        img = rng.integers(0, 256, (h, w, 3), np.uint8)
+        padded, _, _ = resize_dev.pad_src_bucket(img)
+        canvas, sh, sw = resize_dev.put_src_bucket(img, mode="flat")
+        assert (sh, sw) == (h, w)
+        np.testing.assert_array_equal(np.asarray(canvas), padded)
+
+
+def test_flat_len_ladder_is_bounded():
+    from onnxocr_tpu.ops import resize_dev
+    lad = resize_dev.LEN_LADDER_PX
+    assert len(lad) < 16  # every entry is a compile key: keep it coarse
+    assert all(b > a for a, b in zip(lad, lad[1:]))
+    assert resize_dev.flat_len_bucket(1) == lad[0]
+    assert resize_dev.flat_len_bucket(lad[3]) == lad[3]
+    # beyond the ladder: exact size (degenerate, but never crashes)
+    assert resize_dev.flat_len_bucket(lad[-1] + 7) == lad[-1] + 7

@@ -129,7 +129,10 @@ def main():
                             cwd=repo, env=env, stdout=log,
                             stderr=subprocess.STDOUT)
     try:
-        while remaining() > BUDGET_S * 0.5:
+        # boot window: the server's first device op + engine warmup can
+        # cost minutes cold; leave at least 35% of budget for the timed
+        # phase (with a warm persistent cache boot is ~60-90 s)
+        while remaining() > BUDGET_S * 0.35:
             time.sleep(2)
             try:
                 r = urllib.request.urlopen(
