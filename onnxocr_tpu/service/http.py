@@ -197,6 +197,21 @@ class App:
             if asyncio.iscoroutine(res):
                 await res
 
+    async def startup_background(self):
+        """Run SYNC startup hooks (engine warmup: model init + first
+        device op — minutes on a cold tunneled TPU) in a worker thread so
+        the server socket binds immediately; /api/v2/readyz flips to 200
+        only when warmup succeeds (engine.ready), /healthz answers
+        throughout. Coroutine hooks still run on the loop."""
+        loop = asyncio.get_event_loop()
+        for fn in self._startup_hooks:
+            if asyncio.iscoroutinefunction(fn):
+                await fn()
+            else:
+                res = await loop.run_in_executor(None, fn)
+                if asyncio.iscoroutine(res):
+                    await res
+
     async def handle(self, request: Request) -> Response:
         request.request_id = request.headers.get("x-request-id") or \
             uuid.uuid4().hex
@@ -284,7 +299,18 @@ class TestClient:
 
 async def serve(app: App, host: str = "0.0.0.0", port: int = 5005,
                 max_body: int = 256 * 1024 * 1024):
-    await app.startup()
+    # bind FIRST, warm up in the background: health endpoints must answer
+    # while the engine compiles (reference uvicorn blocks on startup, but
+    # on the tunneled TPU warmup takes minutes and an unreachable socket
+    # is indistinguishable from a crash)
+    startup_task = asyncio.ensure_future(app.startup_background())
+
+    def _log_startup_failure(t):
+        if not t.cancelled() and t.exception() is not None:
+            logging.getLogger("service").error(
+                "startup hook failed: %r", t.exception())
+
+    startup_task.add_done_callback(_log_startup_failure)
 
     async def client(reader: asyncio.StreamReader,
                      writer: asyncio.StreamWriter):

@@ -94,11 +94,19 @@ def watchdog():
         os._exit(0)
 
 
-def post_v1(body, timeout=120):
+def post_v1(body, timeout=120, retries=1):
     req = urllib.request.Request(
         "http://127.0.0.1:%d/ocr" % PORT, data=body,
         headers={"Content-Type": "application/json"})
-    r = urllib.request.urlopen(req, timeout=timeout)
+    for attempt in range(retries + 1):
+        try:
+            r = urllib.request.urlopen(req, timeout=timeout)
+            break
+        except TimeoutError:
+            # a cold request can sit behind a multi-minute XLA compile or
+            # link squall; one crashed request must not kill the bench
+            if attempt == retries:
+                raise
     data = json.loads(r.read())
     if "error" in data:
         raise RuntimeError(data["error"])
@@ -155,7 +163,11 @@ def main():
             if remaining() < BUDGET_S * 0.45 and len(warmed) >= 4:
                 note("warmup trim %d -> %d" % (len(bodies), len(warmed)))
                 break
-            post_v1(b)
+            try:
+                post_v1(b, timeout=max(30, min(150, remaining() - 20)))
+            except Exception as e:
+                note("warmup skip image %d: %r" % (i, e))
+                continue
             warmed.append(b)
         bodies[:] = warmed
         STATE["images"] = len(bodies)
