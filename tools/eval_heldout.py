@@ -174,16 +174,25 @@ def main():
     ap.add_argument("--rec-dir", default="",
                     help="override rec_model_dir (candidate rec "
                          "checkpoint, same <dir>/rec.onnx convention)")
+    ap.add_argument("--tpu-dtype", default="",
+                    help="native-model compute dtype override "
+                         "(e.g. bfloat16) — accuracy A/B for MXU dtypes")
+    ap.add_argument("--pipeline", default="",
+                    help="tpu_pipeline override (staged / onecall)")
     args = ap.parse_args()
 
     import cv2
-    if args.det_dir or args.rec_dir:
+    if args.det_dir or args.rec_dir or args.tpu_dtype or args.pipeline:
         from onnxocr_tpu import ONNXPaddleOcr
         kw = {}
         if args.det_dir:
             kw["det_model_dir"] = args.det_dir
         if args.rec_dir:
             kw["rec_model_dir"] = args.rec_dir
+        if args.tpu_dtype:
+            kw["tpu_dtype"] = args.tpu_dtype
+        if args.pipeline:
+            kw["tpu_pipeline"] = args.pipeline
         model = ONNXPaddleOcr(use_angle_cls=True, use_gpu=False, **kw)
     else:
         from onnxocr_tpu.service import engine as engine_mod
