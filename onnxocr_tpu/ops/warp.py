@@ -122,64 +122,50 @@ def _cubic_weights(t, a=-0.75):
     return w0, w1, w2, w3
 
 
-def _sample_bilinear(img, H, W, sx, sy):
-    """One 2x2x3 patch gather per output pixel (vmapped dynamic_slice →
-    a single XLA gather) instead of 4 independent per-tap gathers — the
-    per-index overhead dominates TPU gather cost, so collapsing the taps
-    is ~4x. Clamping the patch start to W-2/H-2 and letting the fraction
-    reach 1.0 reproduces the border-replicate taps exactly (sx is already
-    clipped to [0, W-1]: at the border the out-of-range tap's weight
-    lands on the replicated pixel)."""
-    x0 = jnp.clip(jnp.floor(sx), 0.0, W - 2.0)
-    y0 = jnp.clip(jnp.floor(sy), 0.0, H - 2.0)
-    fx = (sx - x0)[..., None]
-    fy = (sy - y0)[..., None]
-    xi = x0.astype(jnp.int32).reshape(-1)
-    yi = y0.astype(jnp.int32).reshape(-1)
-    patch = jax.vmap(
-        lambda y, x: jax.lax.dynamic_slice(img, (y, x, 0), (2, 2, 3))
-    )(yi, xi).astype(jnp.float32)
-    patch = patch.reshape(sx.shape + (2, 2, 3))
-    top = patch[..., 0, 0, :] * (1 - fx) + patch[..., 0, 1, :] * fx
-    bot = patch[..., 1, 0, :] * (1 - fx) + patch[..., 1, 1, :] * fx
+def _sample_bilinear(flat, H, W, sx, sy):
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def tap(yy, xx):
+        # gather the uint8 source and convert AFTER: 4x less gather
+        # bandwidth and no full-image f32 materialization; bit-identical
+        # (u8→f32 commutes with the gather)
+        yy = jnp.clip(yy, 0, H - 1)
+        xx = jnp.clip(xx, 0, W - 1)
+        return jnp.take(flat, yy * W + xx, axis=0).astype(jnp.float32)
+
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = tap(y0, x0) * (1 - fx) + tap(y0, x0 + 1) * fx
+    bot = tap(y0 + 1, x0) * (1 - fx) + tap(y0 + 1, x0 + 1) * fx
     return top * (1 - fy) + bot * fy
 
 
-def _sample_bicubic(img, H, W, sx, sy):
-    """One 4x4x3 patch gather per output pixel instead of 16 per-tap
-    gathers. The patch start is clamped to keep the slice in-bounds; each
-    tap's border-replicate coordinate is then selected from the patch by
-    a static one-hot over the 4 rows/cols (VPU selects are ~free next to
-    gather cost), reproducing the per-tap clip exactly."""
-    x0 = jnp.floor(sx).astype(jnp.int32)
-    y0 = jnp.floor(sy).astype(jnp.int32)
-    wx = _cubic_weights(sx - jnp.floor(sx))
-    wy = _cubic_weights(sy - jnp.floor(sy))
-    sx0 = jnp.clip(x0 - 1, 0, max(W - 4, 0))
-    sy0 = jnp.clip(y0 - 1, 0, max(H - 4, 0))
-    patch = jax.vmap(
-        lambda y, x: jax.lax.dynamic_slice(img, (y, x, 0), (4, 4, 3))
-    )(sy0.reshape(-1), sx0.reshape(-1)).astype(jnp.float32)
-    patch = patch.reshape(sx.shape + (4, 4, 3))
+def _sample_bicubic(flat, H, W, sx, sy):
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    wx = _cubic_weights(fx)
+    wy = _cubic_weights(fy)
 
-    # factorized one-hot tap selection: columns first (per-i tap x), then
-    # rows (per-j tap y); weights applied on the selected values.
-    colred = []
-    for i in range(4):
-        ci = (jnp.clip(x0 + i - 1, 0, W - 1) - sx0)[..., None, None]
-        sel = 0.0
-        for c in range(4):
-            sel = sel + jnp.where(ci == c, 1.0, 0.0) * patch[..., :, c, :]
-        colred.append(sel)  # (..., 4, 3): rows of the i-th x tap
+    def tap(yy, xx):
+        # uint8 gather — see _sample_bilinear.tap
+        yy = jnp.clip(yy, 0, H - 1)
+        xx = jnp.clip(xx, 0, W - 1)
+        return jnp.take(flat, yy * W + xx, axis=0).astype(jnp.float32)
+
     out = 0.0
     for j in range(4):
-        rj = (jnp.clip(y0 + j - 1, 0, H - 1) - sy0)[..., None]
         row = 0.0
         for i in range(4):
-            sel = 0.0
-            for r in range(4):
-                sel = sel + jnp.where(rj == r, 1.0, 0.0) * colred[i][..., r, :]
-            row = row + sel * wx[i][..., None]
+            row = row + tap(y0 + j - 1, x0 + i - 1) * wx[i][..., None]
         out = out + row * wy[j][..., None]
     return out
 
@@ -200,6 +186,7 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
       x/255 → (x-0.5)/0.5, predict_rec.py:74-77).
     """
     H, W = image_u8.shape[:2]
+    flat = image_u8.reshape(-1, 3)  # stays uint8; taps convert post-gather
 
     xs = jnp.arange(out_w, dtype=jnp.float32)
     ys = jnp.arange(out_h, dtype=jnp.float32)
@@ -216,9 +203,9 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
         sx = jnp.clip(sx, 0.0, W - 1.0)
         sy = jnp.clip(sy, 0.0, H - 1.0)
         if interp == "bicubic":
-            vals = _sample_bicubic(image_u8, H, W, sx, sy)
+            vals = _sample_bicubic(flat, H, W, sx, sy)
         else:
-            vals = _sample_bilinear(image_u8, H, W, sx, sy)
+            vals = _sample_bilinear(flat, H, W, sx, sy)
         vals = jnp.clip(vals, 0.0, 255.0)
         norm = (vals / 255.0 - 0.5) / 0.5
         mask = (gx < vw)[..., None]
@@ -243,12 +230,13 @@ def warp_crops_multi(images_u8: jax.Array, img_idx: jax.Array,
     Returns (N, out_h, out_w, 3) float32 normalized crops.
     """
     B, H, W = images_u8.shape[:3]
+    flat = images_u8.reshape(-1, 3)  # uint8; taps convert post-gather
 
     xs = jnp.arange(out_w, dtype=jnp.float32)
     ys = jnp.arange(out_h, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)
 
-    def one(mat, vw, bi):
+    def one(mat, vw, base):
         u = mat[0, 0] * gx + mat[0, 1] * gy + mat[0, 2]
         v = mat[1, 0] * gx + mat[1, 1] * gy + mat[1, 2]
         w = mat[2, 0] * gx + mat[2, 1] * gy + mat[2, 2]
@@ -256,65 +244,58 @@ def warp_crops_multi(images_u8: jax.Array, img_idx: jax.Array,
         sx = jnp.clip(u * inv_w, 0.0, W - 1.0)
         sy = jnp.clip(v * inv_w, 0.0, H - 1.0)
         if interp == "bicubic":
-            vals = _sample_bicubic_off(images_u8, H, W, sx, sy, bi)
+            vals = _sample_bicubic_off(flat, H, W, sx, sy, base)
         else:
-            vals = _sample_bilinear_off(images_u8, H, W, sx, sy, bi)
+            vals = _sample_bilinear_off(flat, H, W, sx, sy, base)
         vals = jnp.clip(vals, 0.0, 255.0)
         norm = (vals / 255.0 - 0.5) / 0.5
         mask = (gx < vw)[..., None]
         return jnp.where(mask, norm, 0.0)
 
-    return jax.vmap(one)(mats, valid_w, img_idx.astype(jnp.int32))
+    base = img_idx.astype(jnp.int32) * (H * W)
+    return jax.vmap(one)(mats, valid_w, base)
 
 
-def _sample_bilinear_off(imgs, H, W, sx, sy, bi):
-    """Multi-source bilinear: same patch-gather scheme as _sample_bilinear,
-    with the source row selected by bi via a 4-D dynamic_slice."""
-    x0 = jnp.clip(jnp.floor(sx), 0.0, W - 2.0)
-    y0 = jnp.clip(jnp.floor(sy), 0.0, H - 2.0)
-    fx = (sx - x0)[..., None]
-    fy = (sy - y0)[..., None]
-    xi = x0.astype(jnp.int32).reshape(-1)
-    yi = y0.astype(jnp.int32).reshape(-1)
-    patch = jax.vmap(
-        lambda y, x: jax.lax.dynamic_slice(imgs, (bi, y, x, 0), (1, 2, 2, 3))
-    )(yi, xi).astype(jnp.float32)
-    patch = patch.reshape(sx.shape + (2, 2, 3))
-    top = patch[..., 0, 0, :] * (1 - fx) + patch[..., 0, 1, :] * fx
-    bot = patch[..., 1, 0, :] * (1 - fx) + patch[..., 1, 1, :] * fx
+def _sample_bilinear_off(flat, H, W, sx, sy, base):
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    def tap(yy, xx):
+        yy = jnp.clip(yy, 0, H - 1)
+        xx = jnp.clip(xx, 0, W - 1)
+        return jnp.take(flat, base + yy * W + xx, axis=0)
+
+    fx = fx[..., None]
+    fy = fy[..., None]
+    top = tap(y0, x0) * (1 - fx) + tap(y0, x0 + 1) * fx
+    bot = tap(y0 + 1, x0) * (1 - fx) + tap(y0 + 1, x0 + 1) * fx
     return top * (1 - fy) + bot * fy
 
 
-def _sample_bicubic_off(imgs, H, W, sx, sy, bi):
-    """Multi-source bicubic: patch gather + one-hot tap selection, as in
-    _sample_bicubic, source row selected by bi."""
-    x0 = jnp.floor(sx).astype(jnp.int32)
-    y0 = jnp.floor(sy).astype(jnp.int32)
-    wx = _cubic_weights(sx - jnp.floor(sx))
-    wy = _cubic_weights(sy - jnp.floor(sy))
-    sx0 = jnp.clip(x0 - 1, 0, max(W - 4, 0))
-    sy0 = jnp.clip(y0 - 1, 0, max(H - 4, 0))
-    patch = jax.vmap(
-        lambda y, x: jax.lax.dynamic_slice(imgs, (bi, y, x, 0), (1, 4, 4, 3))
-    )(sy0.reshape(-1), sx0.reshape(-1)).astype(jnp.float32)
-    patch = patch.reshape(sx.shape + (4, 4, 3))
+def _sample_bicubic_off(flat, H, W, sx, sy, base):
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+    wx = _cubic_weights(fx)
+    wy = _cubic_weights(fy)
 
-    colred = []
-    for i in range(4):
-        ci = (jnp.clip(x0 + i - 1, 0, W - 1) - sx0)[..., None, None]
-        sel = 0.0
-        for c in range(4):
-            sel = sel + jnp.where(ci == c, 1.0, 0.0) * patch[..., :, c, :]
-        colred.append(sel)
+    def tap(yy, xx):
+        yy = jnp.clip(yy, 0, H - 1)
+        xx = jnp.clip(xx, 0, W - 1)
+        return jnp.take(flat, base + yy * W + xx, axis=0)
+
     out = 0.0
     for j in range(4):
-        rj = (jnp.clip(y0 + j - 1, 0, H - 1) - sy0)[..., None]
         row = 0.0
         for i in range(4):
-            sel = 0.0
-            for r in range(4):
-                sel = sel + jnp.where(rj == r, 1.0, 0.0) * colred[i][..., r, :]
-            row = row + sel * wx[i][..., None]
+            row = row + tap(y0 + j - 1, x0 + i - 1) * wx[i][..., None]
         out = out + row * wy[j][..., None]
     return out
 
