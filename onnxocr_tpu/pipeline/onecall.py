@@ -19,8 +19,16 @@ designs, and the models' valid-width masking + valid-T decode restriction
 make the extra padding invisible. Crops that would exceed W (desired_w >
 W) are re-run by the host through the staged per-bucket path against the
 same HBM-resident image — one extra call on the rare page with very wide
-lines. If more than K_rec boxes survive filtering, the image falls back to
-the staged path entirely (correctness first).
+lines.
+
+K_rec (the static crop budget the program warps/classifies/recognizes) is
+deliberately smaller than K_det: the packed download carries ALL K_det
+filtered quads, so when a page has more than K_rec boxes the host keeps
+the K_rec prefix results and runs only the REMAINDER through the staged
+fused path against the same HBM-resident image — no det re-run, no full
+staged fallback. That makes a small K_rec safe: typical pages (≤K_rec
+boxes) pay one program + one download; dense pages pay one extra fused
+call for the tail instead of warping a worst-case box budget every page.
 
 Box geometry follows the device DB extraction contract (PCA-oriented
 components — see ops/db_device.py docstring for the documented divergences
@@ -149,6 +157,7 @@ class OneCallPipeline:
 
             # --- pack everything into one buffer: one download, one RTT
             T = idx.shape[1]
+            wbuf = 12 + 2 * T
             body = jnp.concatenate([
                 quads_c.reshape(k_rec, 8),
                 scores_c[:, None],
@@ -157,9 +166,20 @@ class OneCallPipeline:
                 desired[:, None].astype(jnp.float32),
                 idx.astype(jnp.float32),
                 prob_max.astype(jnp.float32)], axis=-1)
-            tail = jnp.zeros((1, 12 + 2 * T), jnp.float32)
+            tail = jnp.zeros((1, wbuf), jnp.float32)
             tail = tail.at[0, 0].set(n_valid.astype(jnp.float32))
-            return jnp.concatenate([body, tail], axis=0)
+            # det block: ALL K_det filtered quads (+valid flag), flattened
+            # into wbuf-wide rows — the overflow path's box source (~36 KB
+            # extra on the same single download)
+            det_flat = jnp.concatenate(
+                [quads_s.reshape(k_det, 8),
+                 valid[:, None].astype(jnp.float32)], axis=-1).reshape(-1)
+            n_det_rows = -(-det_flat.shape[0] // wbuf)
+            det_block = jnp.concatenate(
+                [det_flat,
+                 jnp.zeros((n_det_rows * wbuf - det_flat.shape[0],),
+                           jnp.float32)]).reshape(n_det_rows, wbuf)
+            return jnp.concatenate([body, tail, det_block], axis=0)
 
         return jax.jit(step, static_argnames=("out_h", "out_w"))
 
@@ -167,8 +187,9 @@ class OneCallPipeline:
     def __call__(self, img: np.ndarray, cls: bool
                  ) -> Optional[Tuple[np.ndarray, List[Tuple[str, float]]]]:
         """Returns (dt_boxes (N,4,2) float32, rec_res) in device (raster)
-        order — the caller applies sorted_boxes pairing and drop_score —
-        or None when the page overflows K_rec (staged-path fallback)."""
+        order — the caller applies sorted_boxes pairing and drop_score.
+        Pages with more than K_rec boxes keep the prefix results and run
+        the remainder through the staged fused path (same HBM image)."""
         use_cls = bool(cls and self.fused.cls_forward is not None and
                        self.fused.idx180 is not None)
         image_dev, src_h, src_w = resize_dev.put_src_bucket(
@@ -200,13 +221,11 @@ class OneCallPipeline:
                        lambda *a, _f=fn, _h=hb, _w=wb:
                        _f(*a, out_h=_h, out_w=_w), args)
         packed = np.asarray(fn(*args, out_h=hb, out_w=wb))
-        n_valid = int(packed[-1, 0])
-        if n_valid > self.k_rec:
-            return None  # staged fallback handles the overflow page
-        body = packed[:-1]
+        body = packed[:self.k_rec]
+        n_valid = int(packed[self.k_rec, 0])
         valid = body[:, 9] > 0.5
         rows = body[valid]
-        if rows.shape[0] == 0:
+        if n_valid == 0 or rows.shape[0] == 0:
             return np.zeros((0, 4, 2), np.float32), []
         boxes = rows[:, :8].reshape(-1, 4, 2).astype(np.float32)
         rec_vw = rows[:, 10].astype(np.int32)
@@ -227,4 +246,17 @@ class OneCallPipeline:
                 (self.fused.cls_h, self.fused.cls_w), use_cls=use_cls)
             for i, res in zip(wide, redo):
                 rec_res[i] = res
+
+        if n_valid > self.k_rec:
+            # overflow: the det block carries every filtered quad — keep
+            # the K_rec prefix results and fused-run only the remainder
+            det_flat = packed[self.k_rec + 1:].reshape(-1)
+            det_rows = det_flat[:self.k_det * 9].reshape(self.k_det, 9)
+            boxes_all = det_rows[det_rows[:, 8] > 0.5, :8].reshape(
+                -1, 4, 2).astype(np.float32)
+            rest = boxes_all[self.k_rec:]
+            rec_rest = self.recognizer.run_boxes_fused(
+                image_dev, rest, self.fused,
+                (self.fused.cls_h, self.fused.cls_w), use_cls=use_cls)
+            return boxes_all, rec_res + rec_rest
         return boxes, rec_res

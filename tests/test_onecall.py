@@ -87,6 +87,26 @@ def test_onecall_fixed_canvas_rect_page(staged_model, onecall_model):
         assert np.abs(gb - rb).max() <= 2.0
 
 
+def test_onecall_overflow_remainder(pages, staged_model):
+    """A page with more boxes than K_rec must keep the prefix results and
+    fused-run the remainder from the packed det block — same texts/boxes
+    as the staged device path, no det re-run."""
+    from onnxocr_tpu import ONNXPaddleOcr
+    tiny = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0,
+                         det_limit_side_len=640, tpu_det_bucket=320,
+                         tpu_pipeline="onecall", tpu_onecall_max_boxes=2)
+    for page in pages:
+        ref = staged_model.ocr(page)[0]
+        if len(ref) <= 2:
+            continue
+        got = tiny.ocr(page)[0]
+        assert [l[1][0] for l in got] == [l[1][0] for l in ref]
+        for g, r in zip(got, ref):
+            gb = np.asarray(g[0], np.float64)
+            rb = np.asarray(r[0], np.float64)
+            assert np.abs(gb - rb).max() <= 2.0
+
+
 def test_onecall_cls_off(pages):
     from onnxocr_tpu import ONNXPaddleOcr
     m = ONNXPaddleOcr(use_angle_cls=False, drop_score=0.0,
