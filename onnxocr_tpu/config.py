@@ -222,11 +222,21 @@ DEFAULTS = {
     # note). 'staged' keeps the default multi-call pipeline.
     "tpu_pipeline": "staged",
     "tpu_onecall_rec_width": 640,
-    "tpu_onecall_max_boxes": 64,
+    # K_rec: the static crop budget the one-call program warps/cls/recs.
+    # Pages with more boxes keep the prefix results and fused-run only the
+    # remainder (onecall.py overflow path), so this is a throughput knob,
+    # not a correctness cap. A/B on the v5e (scratch/ab_onecall, 7-page
+    # dominant bucket, mean 21 boxes/page): 64→32 cut device time
+    # 299→229 ms and lifted pipelined throughput 2.96→3.46 img/s with
+    # identical results; 16 overflowed 5/7 pages (extra per-page calls
+    # forfeit onecall's one-download squall immunity) for ~5% more.
+    "tpu_onecall_max_boxes": 32,
     # candidate-component budget BEFORE score filtering — must match the
     # staged device path's tpu_det_max_boxes: real pages can carry
     # hundreds of speckle components, and a lower cap (raster-first
-    # truncation) silently drops real boxes further down the page
+    # truncation, mirroring the reference's first-1000-contours order)
+    # silently drops real boxes further down the page. 512 measured ~5%
+    # faster (scratch/ab_onecall) but was rejected for that reason.
     "tpu_onecall_det_candidates": 1024,
     # One det canvas (round_up(limit_side_len, det bucket)²) for every
     # page in one-call mode: masked SE pools + valid-region DB extraction
