@@ -288,7 +288,11 @@ def make_params(**kwargs) -> SimpleNamespace:
     """
     params = dict(DEFAULTS)
     params.update(kwargs)
-    return SimpleNamespace(**params)
+    ns = SimpleNamespace(**params)
+    # which flags the caller set explicitly — checkpoint calibration
+    # (backends.checkpoint_calibration) never overrides these
+    ns._user_keys = set(kwargs)
+    return ns
 
 
 def parse_shape(s) -> tuple:

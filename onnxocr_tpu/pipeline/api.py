@@ -19,6 +19,8 @@ class ONNXPaddleOcr(TextSystem):
         # kwargs overlay (reference onnx_paddleocr.py:20-23).
         params.rec_image_shape = "3, 48, 320"
         params.__dict__.update(**kwargs)
+        # explicit-kwarg record: checkpoint calibration defers to these
+        params._user_keys = set(kwargs)
         super().__init__(params)
 
     def ocr(self, img, det: bool = True, rec: bool = True, cls: bool = True):

@@ -497,15 +497,41 @@ def apply_support_bias(params: dict, support: np.ndarray) -> dict:
 
 
 # --------------------------------------------------------------------- zoo
+def checkpoint_calibration(ckpt_path: str) -> dict:
+    """Inference-knob calibration shipped NEXT TO a native checkpoint
+    (<ckpt dir>/calibration.json): flag-name → value pairs tuned for that
+    checkpoint on the held-out real-image eval (tools/eval_heldout.py).
+
+    The synthetic-trained native models are not the reference's models, so
+    the reference's flag defaults are not always their best operating
+    point (e.g. the v5 det's prob maps are under-confident on real pages
+    — box_thresh 0.6→0.4 doubled table recall, scratch/sweep_bt). The
+    pipeline applies these only for flags the caller did NOT explicitly
+    pass (args._user_keys), so reference parity is untouched for
+    graph-backend models and for any user-set flag."""
+    if not ckpt_path:
+        return {}
+    cal = os.path.join(os.path.dirname(ckpt_path), "calibration.json")
+    if os.path.exists(cal):
+        import json
+        try:
+            with open(cal) as f:
+                return dict(json.load(f))
+        except (ValueError, OSError):  # unreadable sidecar: no calibration
+            return {}
+    return {}
+
+
 def _load_native_params(model_dir: str, kind: str = "", arch: str = ""):
     """Load trained native params from <model_dir>/native_params.npz; when a
     registry entry (e.g. PP-OCRv4) has no checkpoint of its own, fall back
     to the ppocrv5 family checkpoint of the same stage/architecture so
-    model switching stays functional (warns)."""
+    model switching stays functional (warns). Returns (params, npz_path) —
+    the path actually loaded, so calibration sidecars follow fallbacks."""
     from ..utils.params_io import load_tree
     path = os.path.join(os.path.dirname(model_dir), "native_params.npz")
     if os.path.exists(path):
-        return load_tree(path)
+        return load_tree(path), path
     if kind in ("det", "rec") and arch in ("mbv3", "svtr"):
         from .. import config as cfg_mod
         fb = cfg_mod.find_asset(f"ppocrv5/{kind}/native_params.npz")
@@ -513,8 +539,8 @@ def _load_native_params(model_dir: str, kind: str = "", arch: str = ""):
             import warnings
             warnings.warn(f"{kind}: no checkpoint at {path}; using the "
                           f"ppocrv5 family checkpoint {fb}")
-            return load_tree(fb)
-    return None
+            return load_tree(fb), fb
+    return None, ""
 
 
 def pick_arch(kind: str, model_path: str, algorithm: str = "") -> str:
@@ -543,6 +569,10 @@ def resolve_backend(kind: str, model_path: str, requested: str,
     ONNXOCR_TPU_ALLOW_UNTRAINED=1): the reference fails loudly at session
     construction when a model file is absent, and a silently-untrained
     serving stage would pass warmup/readyz while returning garbage.
+
+    Returns (backend, model_path, params, arch, calibration) — calibration
+    is the checkpoint's sidecar knob dict (checkpoint_calibration), empty
+    for graph-backend and untrained stages.
     """
     allow_untrained = allow_untrained or \
         os.environ.get("ONNXOCR_TPU_ALLOW_UNTRAINED", "") in ("1", "true")
@@ -554,19 +584,20 @@ def resolve_backend(kind: str, model_path: str, requested: str,
                 f"{kind} model not found: {model_path}. Stage the .onnx "
                 "into onnxocr_tpu/assets/ (see tools/fetch_assets.py) or "
                 "use tpu_backend='native'.")
-        return "graph", model_path, None, arch
+        return "graph", model_path, None, arch, {}
 
     # native path
     params = None
+    ckpt = ""
     if have_file and kind == "cls":
         from ..onnx import ir
         try:
             params = lift.lift_cls(ir.load_model(model_path))
         except ValueError:
             # unknown cls variant → run the graph directly
-            return "graph", model_path, None, arch
+            return "graph", model_path, None, arch, {}
     if params is None and model_path:
-        params = _load_native_params(model_path, kind, arch)
+        params, ckpt = _load_native_params(model_path, kind, arch)
     if params is None and kind == "det" and arch == "resnet18":
         # no trained server-det checkpoint: a working mobile detector beats
         # an untrained ResNet — fall back to the mbv3 family checkpoint
@@ -578,6 +609,7 @@ def resolve_backend(kind: str, model_path: str, requested: str,
                           "back to the trained mbv3 detector")
             from ..utils.params_io import load_tree
             params = load_tree(fb)
+            ckpt = fb
             arch = "mbv3"
     if params is None:
         if requested == "native" or not have_file:
@@ -606,7 +638,7 @@ def resolve_backend(kind: str, model_path: str, requested: str,
                 "initialized native model (functional pipeline, untrained "
                 "outputs).")
         else:
-            return "graph", model_path, None, arch
+            return "graph", model_path, None, arch, {}
     if dtype != jnp.float32:
         params = cm.tree_cast(params, dtype)
-    return "native", model_path, params, arch
+    return "native", model_path, params, arch, checkpoint_calibration(ckpt)

@@ -36,7 +36,7 @@ class TextClassifier:
             label_list=args.label_list)
         dtype = jnp.bfloat16 if getattr(args, "tpu_dtype", "float32") == \
             "bfloat16" else jnp.float32
-        backend, path, params, _arch = backends.resolve_backend(
+        backend, path, params, _arch, _calib = backends.resolve_backend(
             "cls", args.cls_model_dir, getattr(args, "tpu_backend", "auto"),
             dtype=dtype,
             allow_untrained=getattr(args, "tpu_allow_untrained", False))

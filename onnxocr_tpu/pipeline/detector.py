@@ -28,6 +28,22 @@ class TextDetector:
         self.image_shape = getattr(args, "det_image_shape", None)
         self.keep_ratio = getattr(args, "det_keep_ratio", False)
         self.bucket = int(getattr(args, "tpu_det_bucket", 320))
+        dtype = jnp.bfloat16 if getattr(args, "tpu_dtype", "float32") == \
+            "bfloat16" else jnp.float32
+        arch = backends.pick_arch("det", args.det_model_dir)
+        backend, path, params, arch, calib = backends.resolve_backend(
+            "det", args.det_model_dir,
+            getattr(args, "tpu_backend", "auto"), dtype=dtype, arch=arch,
+            allow_untrained=getattr(args, "tpu_allow_untrained", False))
+        # Checkpoint calibration: a native checkpoint may ship tuned
+        # inference knobs (calibration.json beside the npz — see
+        # backends.checkpoint_calibration). Applied only for flags the
+        # caller did not explicitly pass, so user settings and reference
+        # defaults for graph models always win.
+        user_keys = getattr(args, "_user_keys", set()) or set()
+        for k, v in calib.items():
+            if k.startswith("det_") and k not in user_keys:
+                setattr(args, k, v)
         self.postprocess_op = DBPostProcess(
             thresh=args.det_db_thresh,
             box_thresh=args.det_db_box_thresh,
@@ -37,13 +53,6 @@ class TextDetector:
             score_mode=args.det_db_score_mode,
             box_type=args.det_box_type,
         )
-        dtype = jnp.bfloat16 if getattr(args, "tpu_dtype", "float32") == \
-            "bfloat16" else jnp.float32
-        arch = backends.pick_arch("det", args.det_model_dir)
-        backend, path, params, arch = backends.resolve_backend(
-            "det", args.det_model_dir,
-            getattr(args, "tpu_backend", "auto"), dtype=dtype, arch=arch,
-            allow_untrained=getattr(args, "tpu_allow_untrained", False))
         self.forward = backends.DetForward(
             backend, path, params, dtype,
             map_dtype=getattr(args, "tpu_det_map_dtype", "float32"),

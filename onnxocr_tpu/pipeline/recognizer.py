@@ -44,7 +44,7 @@ class TextRecognizer:
             "bfloat16" else jnp.float32
         arch = backends.pick_arch("rec", args.rec_model_dir,
                                   args.rec_algorithm)
-        backend, path, params, arch = backends.resolve_backend(
+        backend, path, params, arch, _calib = backends.resolve_backend(
             "rec", args.rec_model_dir, getattr(args, "tpu_backend", "auto"),
             vocab_size=len(self.postprocess_op.character), dtype=dtype,
             arch=arch,

@@ -116,5 +116,32 @@ def test_v4_family_checkpoints_load_without_fallback():
         path = cfg.find_asset(rel)
         with warnings.catch_warnings():
             warnings.simplefilter("error")  # any fallback warning fails
-            params = backends._load_native_params(path, kind, arch)
+            params, src = backends._load_native_params(path, kind, arch)
         assert params is not None, f"no {kind} checkpoint at {path}"
+        assert "ppocrv4" in src  # the family's own npz, not a fallback
+
+
+def test_checkpoint_calibration_applies_and_user_wins():
+    """Native det checkpoints ship calibration.json knobs (the synthetic-
+    trained det is under-confident on real pages: box_thresh 0.6->0.4
+    doubled held-out table recall). Calibration must apply on the default
+    path but never override an explicitly passed flag, and the reference
+    default must survive in config.DEFAULTS (parity)."""
+    from onnxocr_tpu import ONNXPaddleOcr
+    from onnxocr_tpu import config as cfg
+    from onnxocr_tpu.pipeline import backends
+
+    assert cfg.DEFAULTS["det_db_box_thresh"] == 0.6  # reference parity
+    calib = backends.checkpoint_calibration(
+        cfg.find_asset("ppocrv5/det/native_params.npz"))
+    assert calib.get("det_db_box_thresh") == 0.4
+
+    m = ONNXPaddleOcr(use_angle_cls=False, use_gpu=False)
+    assert m.text_detector.postprocess_op.box_thresh == 0.4
+
+    m2 = ONNXPaddleOcr(use_angle_cls=False, use_gpu=False,
+                       det_db_box_thresh=0.55)
+    assert m2.text_detector.postprocess_op.box_thresh == 0.55
+
+    # missing sidecar -> no calibration
+    assert backends.checkpoint_calibration("/nonexistent/x.npz") == {}
