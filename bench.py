@@ -105,6 +105,8 @@ def build_output():
         "mean_boxes_per_image": STATE.get("mean_boxes"),
         "device_ms_per_image": STATE.get("device_ms_per_image"),
         "device_busy_frac": STATE.get("device_busy_frac"),
+        "device_tflops": STATE.get("device_tflops"),
+        "mfu_vs_bf16_peak": STATE.get("mfu_vs_bf16_peak"),
         "stage_mean_ms": STATE.get("stage_mean_ms"),
     }
     return {k: v for k, v in out.items() if v is not None}
@@ -413,6 +415,16 @@ def main():
                 ips = statistics.median(STATE["round_ips"])
                 STATE["device_busy_frac"] = round(
                     min(1.0, per_img * ips / 1000.0), 3)
+            # MFU estimate: XLA cost-analysis FLOPs of the replayed
+            # program / its device time, vs the v5e bf16 peak (197
+            # TFLOP/s). The pipeline runs f32, so this is conservative;
+            # it answers "how much of the chip does a page use".
+            fl = profiling.CAPTURE.flops("onecall") if \
+                dev_ms.get("onecall") is not None else None
+            if fl and per_img:
+                achieved = fl / (per_img / 1000.0)
+                STATE["device_tflops"] = round(achieved / 1e12, 2)
+                STATE["mfu_vs_bf16_peak"] = round(achieved / 197e12, 4)
         STATE["device_program_ms"] = dev_ms
 
     STATE["phase"] = "done"

@@ -113,6 +113,25 @@ class ProgramCapture:
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / n * 1000.0
 
+    def flops(self, name: str) -> Optional[float]:
+        """XLA cost-analysis FLOP count of the captured program (one call).
+        Re-lowers the same trace, so the compile is a persistent-cache hit.
+        With replay_ms this yields achieved FLOP/s → an MFU estimate."""
+        with self._lock:
+            entry = self._calls.get(name)
+        if entry is None:
+            return None
+        import jax
+        fn, args = entry
+        try:
+            compiled = jax.jit(lambda *a: fn(*a)).lower(*args).compile()
+            cost = compiled.cost_analysis()
+            if isinstance(cost, (list, tuple)):  # older jax: per-device
+                cost = cost[0] if cost else {}
+            return float(cost.get("flops", 0.0)) or None
+        except Exception:
+            return None
+
 
 CAPTURE = ProgramCapture()
 
