@@ -131,7 +131,7 @@ class TextRenderer:
     def __init__(self, charset: Optional[str] = None,
                  char_to_idx: Optional[Dict[str, int]] = None,
                  seed: int = 0, ascii_bias: float = 0.5,
-                 structured_frac: float = 0.0):
+                 structured_frac: float = 0.0, lowres_frac: float = 0.0):
         from PIL import ImageFont
         if charset is None:
             charset = ("".join(char_to_idx) if char_to_idx is not None
@@ -141,6 +141,7 @@ class TextRenderer:
         self.char_to_idx = char_to_idx
         self.ascii_bias = ascii_bias
         self.structured_frac = structured_frac
+        self.lowres_frac = lowres_frac
         self.rng = np.random.default_rng(seed)
         self._fonts = {}
         self._font_chars: Dict[Tuple[str, int], list] = {}
@@ -354,6 +355,23 @@ class TextRenderer:
         # random mild color cast
         cast = rng.uniform(0.85, 1.15, size=3)
         bgr = np.clip(bgr * cast, 0, 255).astype(np.uint8)
+        if alpha is None and rng.random() < self.lowres_frac:
+            # low-res degradation: real pages carry 8-20 px text that the
+            # crop warp upscales to height 48 (held-out misses: tiny table
+            # numbers, receipts) — simulate by a downscale→(optional JPEG
+            # roundtrip)→upscale so the model trains on that blur.
+            h2 = int(rng.integers(8, 22))
+            w2 = max(4, int(round(w * h2 / height)))
+            small = cv2.resize(bgr, (w2, h2), interpolation=cv2.INTER_AREA)
+            if rng.random() < 0.5:
+                q = int(rng.integers(30, 85))
+                ok, enc = cv2.imencode(
+                    ".jpg", small, [int(cv2.IMWRITE_JPEG_QUALITY), q])
+                if ok:
+                    small = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+            up = cv2.INTER_LINEAR if rng.random() < 0.7 else \
+                cv2.INTER_NEAREST
+            bgr = cv2.resize(small, (w, height), interpolation=up)
         if return_alpha:
             alpha = cv2.resize(alpha, (w, height))
             return bgr, np.clip(alpha, 0.0, 1.0)

@@ -81,3 +81,23 @@ def test_drawable_filter():
     assert not _drawable("́")   # combining accent
     assert not _drawable("​")   # zero-width space
     assert not _drawable("א")   # RTL (hebrew aleph)
+
+
+def test_lowres_degradation_shapes_and_gating():
+    """lowres_frac degrades rec lines (downscale->upscale) without
+    changing the output contract; alpha rendering (det compositing) is
+    never degraded."""
+    from onnxocr_tpu.train import synth
+    r = synth.TextRenderer(seed=11, lowres_frac=1.0)
+    im = r.render_line("Hello 123")
+    assert im.dtype == np.uint8 and im.shape[0] == 48 and im.ndim == 3
+    # degraded output loses high-frequency energy vs the clean render
+    rc = synth.TextRenderer(seed=11, lowres_frac=0.0)
+    clean = rc.render_line("Hello 123")
+    def hf(x):
+        g = x.mean(axis=-1)
+        return float(np.abs(np.diff(g, axis=1)).mean())
+    assert hf(im) < hf(clean)
+    # alpha path (det page compositing) stays clean
+    bgr, alpha = r.render_line("Hi", return_alpha=True)
+    assert alpha.shape == bgr.shape[:2]

@@ -29,7 +29,8 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
               arch: str = "svtr", dict_rel: str = "ppocrv5/ppocrv5_dict.txt",
               use_space: bool = True, init_from: str = "",
               widths: tuple = (), charset: str = "full", seed: int = 0,
-              max_len: int = 14, structured_frac: float = 0.0):
+              max_len: int = 14, structured_frac: float = 0.0,
+              lowres_frac: float = 0.0):
     from onnxocr_tpu import config as cfg
     from onnxocr_tpu.train import synth, rec_trainer
     from onnxocr_tpu.models import svtr, crnn
@@ -44,9 +45,11 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
         dict_path,
         charset=None if charset == "full" else synth.DEFAULT_CHARSET)
     renderer = synth.TextRenderer(char_to_idx=c2i, seed=seed,
-                                  structured_frac=structured_frac)
+                                  structured_frac=structured_frac,
+                                  lowres_frac=lowres_frac)
     renderer2 = synth.TextRenderer(char_to_idx=c2i, seed=seed + 1000,
-                                   structured_frac=structured_frac)
+                                   structured_frac=structured_frac,
+                                   lowres_frac=lowres_frac)
     print(f"arch={arch} vocab={vocab} dict-mapped={len(c2i)} "
           f"renderable={len(renderer.charset)}")
 
@@ -252,6 +255,11 @@ if __name__ == "__main__":
     ap.add_argument("--structured-frac", type=float, default=0.0,
                     help="probability a sampled line is words/numbers "
                          "structured text instead of uniform glyph soup")
+    ap.add_argument("--lowres-frac", type=float, default=0.0,
+                    help="probability a rec line gets the low-res "
+                         "degradation (downscale to 8-22 px + optional "
+                         "JPEG roundtrip + upscale — the tiny-text blur "
+                         "real crops carry)")
     args = ap.parse_args()
     if args.which == "rec":
         out = args.out or asset_dir("ppocrv5", "rec", "native_params.npz")
@@ -261,7 +269,8 @@ if __name__ == "__main__":
                   use_space=not args.no_space, init_from=args.init_from,
                   widths=widths, charset=args.charset, seed=args.seed,
                   max_len=args.max_len,
-                  structured_frac=args.structured_frac)
+                  structured_frac=args.structured_frac,
+                  lowres_frac=args.lowres_frac)
     else:
         out = args.out or asset_dir("ppocrv5", "det", "native_params.npz")
         train_det(args.steps, args.batch, args.size, args.lr, out,
