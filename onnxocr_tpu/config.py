@@ -225,12 +225,13 @@ DEFAULTS = {
     # K_rec: the static crop budget the one-call program warps/cls/recs.
     # Pages with more boxes keep the prefix results and fused-run only the
     # remainder (onecall.py overflow path), so this is a throughput knob,
-    # not a correctness cap. A/B on the v5e (scratch/ab_onecall, 7-page
-    # dominant bucket, mean 21 boxes/page): 64→32 cut device time
-    # 299→229 ms and lifted pipelined throughput 2.96→3.46 img/s with
-    # identical results; 16 overflowed 5/7 pages (extra per-page calls
-    # forfeit onecall's one-download squall immunity) for ~5% more.
-    "tpu_onecall_max_boxes": 32,
+    # not a correctness cap. A/Bs on the v5e (scratch/ab_onecall*.log,
+    # 7-page dominant bucket): at the pre-calibration box counts (mean 21)
+    # K=32 beat 64 (3.46 vs 2.96 img/s); after the det box_thresh
+    # calibration roughly doubled boxes/page (13-61 on the same pages),
+    # K=48 wins — 3.39 vs 3.27 (K=32, 5/7 pages overflowing) and 3.07
+    # (K=64, no overflow but a worst-case warp budget every page).
+    "tpu_onecall_max_boxes": 48,
     # candidate-component budget BEFORE score filtering — must match the
     # staged device path's tpu_det_max_boxes: real pages can carry
     # hundreds of speckle components, and a lower cap (raster-first
