@@ -131,7 +131,8 @@ class TextRenderer:
     def __init__(self, charset: Optional[str] = None,
                  char_to_idx: Optional[Dict[str, int]] = None,
                  seed: int = 0, ascii_bias: float = 0.5,
-                 structured_frac: float = 0.0, lowres_frac: float = 0.0):
+                 structured_frac: float = 0.0, lowres_frac: float = 0.0,
+                 photo_frac: float = 0.0, dotmatrix_frac: float = 0.0):
         from PIL import ImageFont
         if charset is None:
             charset = ("".join(char_to_idx) if char_to_idx is not None
@@ -142,6 +143,8 @@ class TextRenderer:
         self.ascii_bias = ascii_bias
         self.structured_frac = structured_frac
         self.lowres_frac = lowres_frac
+        self.photo_frac = photo_frac
+        self.dotmatrix_frac = dotmatrix_frac
         self.rng = np.random.default_rng(seed)
         self._fonts = {}
         self._font_chars: Dict[Tuple[str, int], list] = {}
@@ -424,6 +427,66 @@ class TextRenderer:
         return cv2.resize(framed, (w, height))
 
     # ----------------------------------------------------------- rec batches
+    def render_line_photo(self, text: str, height: int = 48,
+                          max_width: int = 320,
+                          font_key=None) -> np.ndarray:
+        """Scene-photo line: glyph alpha composited onto a low-frequency
+        textured background with contrast-aware ink (the det_page_hard
+        recipe) + photometric jitter. The flat renderer teaches
+        'paper-colored box with dark marks'; real photo text (french_0,
+        posters) sits on gradients and textures."""
+        import cv2
+        rng = self.rng
+        bgr, alpha = self.render_line(text, height, max_width,
+                                      font_key=font_key, return_alpha=True)
+        h, w = alpha.shape
+        base = rng.uniform(40, 230, size=(2, 3, 3)).astype(np.float32)
+        bg = cv2.resize(base, (w, h), interpolation=cv2.INTER_CUBIC)
+        bg += rng.normal(0, rng.uniform(2, 10), bg.shape)
+        ink = rng.uniform(0, 90, 3) if bg.mean() > 128 else \
+            rng.uniform(165, 255, 3)
+        a = alpha[..., None]
+        out = bg * (1 - a) + ink * a
+        gain = rng.uniform(0.6, 1.15)
+        bias = rng.uniform(-25, 35)
+        out = np.clip(out * gain + bias, 0, 255).astype(np.uint8)
+        if rng.random() < 0.4:
+            k = int(rng.integers(1, 3)) * 2 + 1
+            out = cv2.GaussianBlur(out, (k, k), 0)
+        if rng.random() < 0.3:  # photo text can be small too
+            h2 = int(rng.integers(12, 28))
+            w2 = max(4, int(round(w * h2 / height)))
+            out = cv2.resize(cv2.resize(out, (w2, h2),
+                                        interpolation=cv2.INTER_AREA),
+                             (w, height), interpolation=cv2.INTER_LINEAR)
+        return out
+
+    def render_line_dotmatrix(self, text: str, height: int = 48,
+                              max_width: int = 320,
+                              font_key=None) -> np.ndarray:
+        """Dot-matrix print: glyph ink survives only on a regular dot
+        grid (boarding passes, receipt printers — a standing held-out
+        miss class)."""
+        import cv2
+        rng = self.rng
+        _, alpha = self.render_line(text, height, max_width,
+                                    font_key=font_key, return_alpha=True)
+        h, w = alpha.shape
+        bgv = float(rng.uniform(150, 245))
+        inkv = float(rng.uniform(0, 90))
+        pitch = int(rng.integers(3, 6))
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = pitch * rng.uniform(0.5, 0.9) / 2.0
+        dots = (((yy % pitch) - pitch / 2.0) ** 2 +
+                ((xx % pitch) - pitch / 2.0) ** 2) <= r * r
+        keep = (alpha > rng.uniform(0.3, 0.6)) & dots
+        out = np.full((h, w, 3), bgv, np.float32)
+        out += rng.normal(0, rng.uniform(1, 6), out.shape)
+        out[keep] = inkv
+        if rng.random() < 0.5:
+            out = cv2.GaussianBlur(out, (3, 3), 0)
+        return np.clip(out, 0, 255).astype(np.uint8)
+
     def rec_batch(self, batch: int, width: int = 320, max_len: int = 16,
                   margins: bool = True, return_widths: bool = False
                   ) -> Tuple[np.ndarray, ...]:
@@ -434,7 +497,14 @@ class TextRenderer:
         texts = []
         for i in range(batch):
             t, fkey = self.sample_line(max_len)
-            line = self.render_line(t, 48, width, font_key=fkey)
+            style = self.rng.random()
+            if style < self.photo_frac:
+                line = self.render_line_photo(t, 48, width, font_key=fkey)
+            elif style < self.photo_frac + self.dotmatrix_frac:
+                line = self.render_line_dotmatrix(t, 48, width,
+                                                  font_key=fkey)
+            else:
+                line = self.render_line(t, 48, width, font_key=fkey)
             if margins and self.rng.random() < 0.8:
                 line = self.add_margins(line, 48, width)
             w = line.shape[1]

@@ -101,3 +101,17 @@ def test_lowres_degradation_shapes_and_gating():
     # alpha path (det page compositing) stays clean
     bgr, alpha = r.render_line("Hi", return_alpha=True)
     assert alpha.shape == bgr.shape[:2]
+
+
+def test_photo_and_dotmatrix_line_variants():
+    from onnxocr_tpu.train import synth
+    r = synth.TextRenderer(seed=7, photo_frac=0.5, dotmatrix_frac=0.5)
+    p = r.render_line_photo("Palais du LOUVRE")
+    d = r.render_line_dotmatrix("MU 2379")
+    assert p.dtype == np.uint8 and p.shape[0] == 48
+    assert d.dtype == np.uint8 and d.shape[0] == 48
+    # dot-matrix ink is sparser than solid glyphs: compare dark-pixel
+    # fraction against the photo render's continuous strokes
+    g = d.mean(axis=-1)
+    dark = float((g < 120).mean())
+    assert 0.0 < dark < 0.35

@@ -30,7 +30,8 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
               use_space: bool = True, init_from: str = "",
               widths: tuple = (), charset: str = "full", seed: int = 0,
               max_len: int = 14, structured_frac: float = 0.0,
-              lowres_frac: float = 0.0):
+              lowres_frac: float = 0.0, photo_frac: float = 0.0,
+              dotmatrix_frac: float = 0.0):
     from onnxocr_tpu import config as cfg
     from onnxocr_tpu.train import synth, rec_trainer
     from onnxocr_tpu.models import svtr, crnn
@@ -46,10 +47,14 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
         charset=None if charset == "full" else synth.DEFAULT_CHARSET)
     renderer = synth.TextRenderer(char_to_idx=c2i, seed=seed,
                                   structured_frac=structured_frac,
-                                  lowres_frac=lowres_frac)
+                                  lowres_frac=lowres_frac,
+                                  photo_frac=photo_frac,
+                                  dotmatrix_frac=dotmatrix_frac)
     renderer2 = synth.TextRenderer(char_to_idx=c2i, seed=seed + 1000,
                                    structured_frac=structured_frac,
-                                   lowres_frac=lowres_frac)
+                                   lowres_frac=lowres_frac,
+                                   photo_frac=photo_frac,
+                                   dotmatrix_frac=dotmatrix_frac)
     print(f"arch={arch} vocab={vocab} dict-mapped={len(c2i)} "
           f"renderable={len(renderer.charset)}")
 
@@ -260,6 +265,13 @@ if __name__ == "__main__":
                          "degradation (downscale to 8-22 px + optional "
                          "JPEG roundtrip + upscale — the tiny-text blur "
                          "real crops carry)")
+    ap.add_argument("--photo-frac", type=float, default=0.0,
+                    help="probability a rec line renders as scene-photo "
+                         "text (textured background, alpha-composited "
+                         "ink, photometric jitter)")
+    ap.add_argument("--dotmatrix-frac", type=float, default=0.0,
+                    help="probability a rec line renders as dot-matrix "
+                         "print (boarding passes, receipt printers)")
     args = ap.parse_args()
     if args.which == "rec":
         out = args.out or asset_dir("ppocrv5", "rec", "native_params.npz")
@@ -270,7 +282,9 @@ if __name__ == "__main__":
                   widths=widths, charset=args.charset, seed=args.seed,
                   max_len=args.max_len,
                   structured_frac=args.structured_frac,
-                  lowres_frac=args.lowres_frac)
+                  lowres_frac=args.lowres_frac,
+                  photo_frac=args.photo_frac,
+                  dotmatrix_frac=args.dotmatrix_frac)
     else:
         out = args.out or asset_dir("ppocrv5", "det", "native_params.npz")
         train_det(args.steps, args.batch, args.size, args.lr, out,
