@@ -11,10 +11,14 @@ configuration (cross-request det page batching over the bits wire).
 
 Budget discipline (round-2 lesson: a perfect protocol that times out
 produces NO number): the whole run is bounded by BENCH_BUDGET_S seconds
-(default 300). Every phase checks the deadline, the timed rounds stop
-early when the budget runs low, and a watchdog thread force-emits the JSON
-line from whatever phases completed if anything stalls (the tunneled TPU
-link suffers multi-second squalls and minute-long spin-ups).
+(default 300) of WORK time. The first device→host download of a process
+stalls for minutes on bad weather (measured 69-500 s) and blocks all
+benchmark work; the phase clock pauses while that stall is pending so it
+doesn't consume the measurement budget, capped by BENCH_WALL_S (default
+560) of wall time so the process still exits inside the driver's
+timeout. Every phase checks the deadline, the timed rounds stop early
+when the budget runs low, and a watchdog thread force-emits the JSON
+line from whatever phases completed if anything stalls.
 
 Reported:
   * value — MEDIAN images/sec over up to 5 timed pipelined rounds
@@ -67,9 +71,29 @@ STATE = {"mode": "unknown", "images": 0, "phase": "init"}
 _EMIT_LOCK = threading.Lock()
 _EMITTED = threading.Event()
 
+# The first device→host download of a process stalls for minutes on bad
+# link weather (measured 69-500 s).  That stall is pure tunnel time — no
+# benchmark work can proceed behind it — so the phase clock pauses while
+# it is pending: the budget measures *work* time, capped by a hard wall
+# (BENCH_WALL_S) so the process still exits inside the driver's timeout.
+HARD_WALL_S = float(os.environ.get("BENCH_WALL_S", "560"))
+_STALL = {"start": None, "measured": 0.0}
+
+
+def stall_credit():
+    cap = max(0.0, HARD_WALL_S - BUDGET_S)
+    cur = _STALL["measured"]
+    if _STALL["start"] is not None:  # stall still pending: accrue live
+        cur = max(cur, time.monotonic() - _STALL["start"])
+    return min(cur, cap)
+
+
+def elapsed():
+    return (time.monotonic() - T0) - stall_credit()
+
 
 def remaining():
-    return BUDGET_S - (time.monotonic() - T0)
+    return BUDGET_S - elapsed()
 
 
 def note(msg):
@@ -97,6 +121,7 @@ def build_output():
         "images": STATE.get("images"),
         "threads": PIPELINE_THREADS,
         "budget_s": BUDGET_S,
+        "first_download_stall_s": round(_STALL["measured"], 1) or None,
         "phase_reached": STATE.get("phase"),
         "pipelined_round_ips": [round(x, 2) for x in rounds],
         "serial_images_per_sec": serial_ips,
@@ -170,11 +195,14 @@ def main():
     def _absorb_first_download():
         try:
             import jax
-            t0 = time.monotonic()
+            _STALL["start"] = time.monotonic()
             np.asarray(jax.device_put(np.ones(128, np.uint8)))
-            note("first-download stall absorbed (%.1fs)"
-                 % (time.monotonic() - t0))
+            _STALL["measured"] = time.monotonic() - _STALL["start"]
+            _STALL["start"] = None
+            note("first-download stall absorbed (%.1fs; budget credit "
+                 "%.1fs)" % (_STALL["measured"], stall_credit()))
         except Exception as e:  # pragma: no cover - diagnostics only
+            _STALL["start"] = None
             note("first-download absorber failed: %r" % e)
 
     threading.Thread(target=_absorb_first_download, daemon=True).start()
@@ -257,7 +285,7 @@ def main():
     warmed = []
     tw0 = time.monotonic()
     for i, im in enumerate(images):
-        if (time.monotonic() - T0) > warm_deadline and len(warmed) >= 4:
+        if elapsed() > warm_deadline and len(warmed) >= 4:
             note("warmup deadline: trimming corpus %d -> %d images"
                  % (len(images), len(warmed)))
             break
