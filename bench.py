@@ -81,10 +81,13 @@ _STALL = {"start": None, "measured": 0.0}
 
 
 def stall_credit():
-    cap = max(0.0, HARD_WALL_S - BUDGET_S)
+    # fold the watchdog's +3s grace (and poll slack) into the cap so total
+    # wall time stays inside BENCH_WALL_S as documented
+    cap = max(0.0, HARD_WALL_S - BUDGET_S - 4.0)
     cur = _STALL["measured"]
-    if _STALL["start"] is not None:  # stall still pending: accrue live
-        cur = max(cur, time.monotonic() - _STALL["start"])
+    s = _STALL["start"]  # read once: the absorber thread may None it
+    if s is not None:  # stall still pending: accrue live
+        cur = max(cur, time.monotonic() - s)
     return min(cur, cap)
 
 
@@ -121,7 +124,12 @@ def build_output():
         "images": STATE.get("images"),
         "threads": PIPELINE_THREADS,
         "budget_s": BUDGET_S,
-        "first_download_stall_s": round(_STALL["measured"], 1) or None,
+        # live value: a watchdog emission while the stall is still pending
+        # must still report it (that's exactly the run it explains)
+        "first_download_stall_s": round(
+            max(_STALL["measured"], stall_credit()), 1)
+        if (_STALL["measured"] > 0.0 or _STALL["start"] is not None)
+        else None,
         "phase_reached": STATE.get("phase"),
         "pipelined_round_ips": [round(x, 2) for x in rounds],
         "serial_images_per_sec": serial_ips,
@@ -187,6 +195,9 @@ def main():
     from onnxocr_tpu.utils import profiling
 
     threading.Thread(target=watchdog, daemon=True).start()
+    if HARD_WALL_S <= BUDGET_S:
+        note("WARNING: BENCH_WALL_S (%.0f) <= BENCH_BUDGET_S (%.0f): "
+             "stall pausing disabled" % (HARD_WALL_S, BUDGET_S))
 
     # The tunneled TPU charges a one-time multi-minute stall on the FIRST
     # device→host download of a process (measured: 69-208 s,
@@ -284,6 +295,7 @@ def main():
     box_counts = []
     warmed = []
     tw0 = time.monotonic()
+    credit0 = stall_credit()  # stall overlap must not deflate warmup_ips
     for i, im in enumerate(images):
         if elapsed() > warm_deadline and len(warmed) >= 4:
             note("warmup deadline: trimming corpus %d -> %d images"
@@ -295,8 +307,8 @@ def main():
         # keep the partial state current: the watchdog may emit mid-phase
         STATE["images"] = len(warmed)
         STATE["mean_boxes"] = round(float(np.mean(box_counts)), 1)
-        STATE["warmup_ips"] = len(warmed) / max(time.monotonic() - tw0,
-                                                1e-9)
+        warm_wall = (time.monotonic() - tw0) - (stall_credit() - credit0)
+        STATE["warmup_ips"] = len(warmed) / max(warm_wall, 1e-9)
         if (i + 1) % 8 == 0:
             note("warmup serial %d/%d" % (i + 1, len(images)))
     images = warmed

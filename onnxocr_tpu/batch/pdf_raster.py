@@ -13,10 +13,15 @@ generated letters). Supported:
   * paths: re + f/f*/b/B filled rectangles (axis-aligned after CTM)
   * WinAnsi/Latin-1 byte strings; fonts approximated by DejaVu variants
     picked from /BaseFont (bold/serif/mono heuristics)
+  * image XObjects via Do — the scanned-PDF case (reference renders these
+    through pymupdf, onnxocr/ocr_images_pdfs.py:22-35): DCTDecode (JPEG via
+    PIL, gray/RGB/CMYK), FlateDecode bitmaps (1/8-bit gray, RGB, CMYK,
+    Indexed palettes, PNG predictors 10-15), placed by the full affine CTM
+    (axis-aligned fast path; PIL inverse-affine transform otherwise)
 
-Unsupported content (curves, shadings, embedded images inside vector
-pages, CID fonts) is skipped silently — the goal is OCR-able text pixels,
-not print fidelity.
+Unsupported content (curves, shadings, CID fonts, Form XObjects, SMask
+transparency) is skipped silently — the goal is OCR-able pixels, not
+print fidelity.
 """
 from __future__ import annotations
 
@@ -154,6 +159,208 @@ def _page_fonts(objs: _Objects, num: int) -> Dict[bytes, Tuple[str, bool]]:
     return fonts
 
 
+def _resources_head(objs: _Objects, num: int) -> bytes:
+    """The page's /Resources dict head, following one ref level and the
+    /Parent chain (resources inherit from the Pages node)."""
+    seen = set()
+    while num and num not in seen:
+        seen.add(num)
+        head, _ = objs.by_num.get(num, (b"", None))
+        if b"/Resources" in head:
+            res = objs.resolve(head, b"/Resources")
+            return res[0] if res else head
+        parent = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", head)
+        num = int(parent.group(1)) if parent else 0
+    return b""
+
+
+def _page_xobjects(objs: _Objects, num: int) -> Dict[bytes, int]:
+    """XObject resource name → object number."""
+    region = _resources_head(objs, num)
+    xm = re.search(rb"/XObject\s*(\d+)\s+\d+\s+R", region)
+    if xm:
+        entry = objs.by_num.get(int(xm.group(1)))
+        region = entry[0] if entry else b""
+    else:
+        xm = re.search(rb"/XObject\s*<<(.*?)>>", region, re.S)
+        region = xm.group(1) if xm else b""
+    return {m.group(1): int(m.group(2))
+            for m in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R",
+                                 region)}
+
+
+def _colorspace_ncomp(objs: _Objects, head: bytes):
+    """(n_components, palette or None) for an image's /ColorSpace."""
+    m = re.search(rb"/ColorSpace\s*(\d+)\s+\d+\s+R", head)
+    if m:
+        entry = objs.by_num.get(int(m.group(1)), (b"", None))
+        head = b"/ColorSpace " + entry[0]
+    m = re.search(rb"/ColorSpace\s*(/\w+|\[.*?\])", head, re.S)
+    if not m:
+        return 3, None
+    cs = m.group(1)
+    if cs.startswith(b"/"):
+        return {b"/DeviceGray": 1, b"/CalGray": 1, b"/DeviceCMYK": 4,
+                }.get(cs, 3), None
+    if b"/Indexed" in cs:
+        # [/Indexed base hival lookup] — lookup is a string or stream ref
+        base_n = 3
+        if b"Gray" in cs:
+            base_n = 1
+        elif b"CMYK" in cs:
+            base_n = 4
+        pal = None
+        sm = re.search(rb"\(((?:\\.|[^\\()])*)\)\s*\]", cs, re.S)
+        if sm:
+            pal = _decode_string(b"(" + sm.group(1) + b")").encode("latin-1")
+        else:
+            rm = re.search(rb"(\d+)\s+\d+\s+R\s*\]", cs)
+            if rm:
+                pal = objs.stream_of(int(rm.group(1)))
+        if pal is not None:
+            p = np.frombuffer(pal, np.uint8)
+            if base_n == 1:
+                p = np.repeat(p[:, None], 3, axis=1)
+            else:
+                p = p[:len(p) - len(p) % base_n].reshape(-1, base_n)
+                if base_n == 4:
+                    c = p.astype(np.float32) / 255.0
+                    p = ((1 - c[:, :3]) * (1 - c[:, 3:4]) * 255).astype(
+                        np.uint8)
+            return 1, p[:, :3]
+        return 1, None
+    if b"/ICCBased" in cs:
+        rm = re.search(rb"/ICCBased\s+(\d+)\s+\d+\s+R", cs)
+        if rm:
+            ihead, _ = objs.by_num.get(int(rm.group(1)), (b"", None))
+            nm = re.search(rb"/N\s+(\d+)", ihead)
+            if nm:
+                return int(nm.group(1)), None
+    return 3, None
+
+
+def _png_unpredict(data: bytes, rowlen: int) -> bytes:
+    """Undo PNG row predictors (DecodeParms /Predictor >= 10, 8-bit,
+    bpp = colors assumed from /Colors; rowlen excludes the filter byte)."""
+    nrows = len(data) // (rowlen + 1)
+    raw = np.frombuffer(data[:nrows * (rowlen + 1)],
+                        np.uint8).reshape(nrows, rowlen + 1)
+    ftypes = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int32)
+    out = np.zeros_like(rows)
+    prev = np.zeros((rowlen,), np.int32)
+    bpp = 1  # per-byte predictors; /Colors shifts only Sub/Paeth left refs
+    for r in range(nrows):
+        f = int(ftypes[r])
+        cur = rows[r]
+        if f == 0:
+            line = cur
+        elif f == 2:  # Up
+            line = (cur + prev) & 0xFF
+        else:  # Sub/Average/Paeth need the sequential left neighbor
+            line = np.zeros_like(cur)
+            left = np.zeros((bpp,), np.int32)
+            for i in range(rowlen):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if f == 1:
+                    v = cur[i] + a
+                elif f == 3:
+                    v = cur[i] + (a + b) // 2
+                else:  # Paeth
+                    c = int(out[r - 1, i - bpp]) if (r > 0 and i >= bpp) \
+                        else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                    v = cur[i] + pred
+                line[i] = v & 0xFF
+            del left
+        out[r] = line
+        prev = line
+    return out.astype(np.uint8).tobytes()
+
+
+def _decode_image_xobject(objs: _Objects, num: int) -> Optional[np.ndarray]:
+    """Image XObject → (h, w, 3) uint8 RGB, or None when unsupported."""
+    head, raw = objs.by_num.get(num, (b"", None))
+    if raw is None or not re.search(rb"/Subtype\s*/Image\b", head):
+        return None
+    if re.search(rb"/ImageMask\s+true", head):
+        return None  # stencil masks carry no OCR pixels of their own
+    wm = re.search(rb"/Width\s+(\d+)", head)
+    hm = re.search(rb"/Height\s+(\d+)", head)
+    if not wm or not hm:
+        return None
+    w, h = int(wm.group(1)), int(hm.group(1))
+    bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
+    bpc = int(bm.group(1)) if bm else 8
+    filters = re.findall(
+        rb"/(DCTDecode|FlateDecode|ASCIIHexDecode|ASCII85Decode|DCT|Fl)\b",
+        head.split(b"stream")[0])
+
+    data = raw
+    try:
+        for f in filters:
+            if f == b"ASCIIHexDecode":
+                hexs = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
+                if len(hexs) % 2:
+                    hexs += b"0"
+                data = bytes.fromhex(hexs.decode("ascii"))
+            elif f == b"ASCII85Decode":
+                import base64
+                body = data.split(b"~>")[0]
+                data = base64.a85decode(re.sub(rb"\s", b"", body))
+            elif f in (b"FlateDecode", b"Fl"):
+                data = zlib.decompress(data)
+            elif f in (b"DCTDecode", b"DCT"):
+                import io
+                from PIL import Image
+                img = Image.open(io.BytesIO(data))
+                if img.mode == "CMYK":
+                    img = img.convert("RGB")
+                arr = np.asarray(img.convert("RGB") if img.mode != "RGB"
+                                 else img)
+                return arr
+    except Exception:
+        return None
+
+    # raw bitmap path (after Flate/ASCII decode)
+    ncomp, palette = _colorspace_ncomp(objs, head)
+    pm = re.search(rb"/Predictor\s+(\d+)", head)
+    if pm and int(pm.group(1)) >= 10 and bpc == 8:
+        try:
+            data = _png_unpredict(data, w * ncomp)
+        except Exception:
+            return None
+    try:
+        if bpc == 1:
+            bits = np.unpackbits(
+                np.frombuffer(data, np.uint8)[:h * ((w + 7) // 8)]
+                .reshape(h, (w + 7) // 8), axis=1)[:, :w]
+            gray = (bits * 255).astype(np.uint8)
+            return np.repeat(gray[:, :, None], 3, axis=2)
+        if bpc != 8:
+            return None
+        px = np.frombuffer(data, np.uint8)
+        if len(px) < h * w * ncomp:
+            return None
+        px = px[:h * w * ncomp].reshape(h, w, ncomp)
+        if palette is not None:
+            idx = np.clip(px[:, :, 0], 0, len(palette) - 1)
+            return palette[idx]
+        if ncomp == 1:
+            return np.repeat(px, 3, axis=2)
+        if ncomp == 4:  # CMYK
+            c = px.astype(np.float32) / 255.0
+            rgb = (1 - c[:, :, :3]) * (1 - c[:, :, 3:4])
+            return (rgb * 255).astype(np.uint8)
+        return px[:, :, :3]
+    except Exception:
+        return None
+
+
 # ------------------------------------------------------------ content tokens
 _TOKEN_RE = re.compile(
     rb"\((?:\\.|[^\\()])*\)"      # literal string
@@ -226,6 +433,54 @@ class _Mat:
         return math.sqrt(abs(self.a * self.d - self.b * self.c)) or 1.0
 
 
+def _paint_image(canvas, arr: np.ndarray, ctm: "_Mat") -> bool:
+    """Place a decoded image under the CTM (PDF maps the image onto the
+    unit square of user space). Axis-aligned placements take the resize+
+    paste fast path; rotated/skewed ones go through PIL's inverse-affine
+    transform with a mask."""
+    from PIL import Image
+    h, w = arr.shape[:2]
+    p00 = ctm.apply(0.0, 1.0)   # image top-left corner
+    p10 = ctm.apply(1.0, 1.0)   # top-right
+    p01 = ctm.apply(0.0, 0.0)   # bottom-left
+    # device = p00 + (i/w)(p10-p00) + (j/h)(p01-p00); i = col, j = row
+    M = np.array([
+        [(p10[0] - p00[0]) / w, (p01[0] - p00[0]) / h, p00[0]],
+        [(p10[1] - p00[1]) / w, (p01[1] - p00[1]) / h, p00[1]]])
+    corners = [M @ [0, 0, 1], M @ [w, 0, 1], M @ [0, h, 1], M @ [w, h, 1]]
+    xs = [c[0] for c in corners]
+    ys = [c[1] for c in corners]
+    W, H = canvas.size
+    bx0 = max(0, int(np.floor(min(xs))))
+    by0 = max(0, int(np.floor(min(ys))))
+    bx1 = min(W, int(np.ceil(max(xs))))
+    by1 = min(H, int(np.ceil(max(ys))))
+    bw, bh = bx1 - bx0, by1 - by0
+    if bw <= 0 or bh <= 0:
+        return False
+    src = Image.fromarray(arr)
+    if abs(M[0, 1]) < 1e-9 and abs(M[1, 0]) < 1e-9 and M[0, 0] > 0 and \
+            M[1, 1] > 0:
+        canvas.paste(src.resize((bw, bh)), (bx0, by0))
+        return True
+    A = np.vstack([M, [0.0, 0.0, 1.0]])
+    try:
+        Ainv = np.linalg.inv(A)
+    except np.linalg.LinAlgError:
+        return False
+    # PIL transform wants output(x,y) → input coeffs; output origin is bbox
+    coeffs = (Ainv[0, 0], Ainv[0, 1],
+              Ainv[0, 0] * bx0 + Ainv[0, 1] * by0 + Ainv[0, 2],
+              Ainv[1, 0], Ainv[1, 1],
+              Ainv[1, 0] * bx0 + Ainv[1, 1] * by0 + Ainv[1, 2])
+    timg = src.transform((bw, bh), Image.AFFINE, coeffs,
+                         resample=Image.BILINEAR)
+    mask = Image.new("L", src.size, 255).transform((bw, bh), Image.AFFINE,
+                                                   coeffs)
+    canvas.paste(timg, (bx0, by0), mask)
+    return True
+
+
 def render_pdf_pages(pdf_path: str, dpi: int = 150) -> List[np.ndarray]:
     """Rasterize each page to an RGB uint8 array. Raises RuntimeError when
     no page produced any content (caller falls back / reports)."""
@@ -251,12 +506,14 @@ def render_pdf_pages(pdf_path: str, dpi: int = 150) -> List[np.ndarray]:
 
     pages: List[np.ndarray] = []
     drew_anything = False
+    image_cache: Dict[int, Optional[np.ndarray]] = {}
     for pnum in page_nums:
         w_pt, h_pt = _media_box(objs, pnum)
         W, H = int(w_pt * scale0) or 1, int(h_pt * scale0) or 1
         img = Image.new("RGB", (W, H), (255, 255, 255))
         draw = ImageDraw.Draw(img)
         fonts = _page_fonts(objs, pnum)
+        xobjects = _page_xobjects(objs, pnum)
 
         # gather content stream(s)
         head, _ = objs.by_num.get(pnum, (b"", None))
@@ -396,6 +653,17 @@ def render_pdf_pages(pdf_path: str, dpi: int = 150) -> List[np.ndarray]:
                     rects = []
                 elif op == b"n":
                     rects = []
+                elif op == b"Do" and operands:
+                    name = operands[-1]
+                    onum = xobjects.get(name) if isinstance(name, bytes) \
+                        else None
+                    if onum is not None:
+                        if onum not in image_cache:
+                            image_cache[onum] = _decode_image_xobject(
+                                objs, onum)
+                        arr = image_cache[onum]
+                        if arr is not None and _paint_image(img, arr, ctm):
+                            drew_anything = True
             except Exception:
                 pass  # malformed operator sequences are skipped, not fatal
             operands = []

@@ -40,42 +40,54 @@ _MIXER_DEPTH = 2
 _MLP_RATIO = 2
 
 
-def init(rng, vocab_size: int, dtype=jnp.float32) -> Dict[str, Any]:
-    keys = cm.split_rng(rng, 8 + 2 * len(_STAGES) + 6 * _MIXER_DEPTH)
+def init(rng, vocab_size: int, dtype=jnp.float32, dim: int = _MIXER_DIM,
+         depth: int = _MIXER_DEPTH, width_mult: float = 1.0,
+         mlp_ratio: int = _MLP_RATIO) -> Dict[str, Any]:
+    """dim/depth/width_mult scale the net (apply() reads every size from
+    the param shapes, so scaled checkpoints load through the same forward;
+    attention heads derive as dim//32 — 6 at the 192 default). The TPU has
+    enormous capacity headroom here (rec forward 3.9 ms at batch 64, MFU
+    ~0.1% — tools/profile_onecall.py), so larger nets are ~free to serve;
+    the training budget, not inference cost, bounds the size."""
+    keys = cm.split_rng(rng, 8 + 2 * len(_STAGES) + 6 * depth)
     ki = iter(range(len(keys)))
+
+    def ch(c):
+        return int(round(c * width_mult / 8) * 8) or 8
+
     p: Dict[str, Any] = {
-        "stem": cm.convbn_init(keys[next(ki)], 3, 3, 32, dtype=dtype),
+        "stem": cm.convbn_init(keys[next(ki)], 3, 3, ch(32), dtype=dtype),
         "stages": [],
     }
-    cin = 32
+    cin = ch(32)
     for cout, s in _STAGES:
+        cout = ch(cout)
         p["stages"].append({
             "dw": cm.convbn_init(keys[next(ki)], 3, cin, cin, groups=cin,
                                  dtype=dtype),
             "pw": cm.convbn_init(keys[next(ki)], 1, cin, cout, dtype=dtype),
         })
         cin = cout
-    # project (3, W/4, 256) → pooled (1, W/8) sequence at mixer dim
-    p["neck"] = cm.convbn_init(keys[next(ki)], 1, cin, _MIXER_DIM,
-                               dtype=dtype)
+    # project (3, W/4, C) → pooled (1, W/8) sequence at mixer dim
+    p["neck"] = cm.convbn_init(keys[next(ki)], 1, cin, dim, dtype=dtype)
     p["mixer"] = []
-    for _ in range(_MIXER_DEPTH):
+    for _ in range(depth):
         blk = {
-            "ln1": {"scale": np.ones((_MIXER_DIM,), dtype),
-                    "bias": np.zeros((_MIXER_DIM,), dtype)},
-            "qkv": cm.linear_init(keys[next(ki)], _MIXER_DIM,
-                                  3 * _MIXER_DIM, dtype=dtype),
-            "proj": cm.linear_init(keys[next(ki)], _MIXER_DIM, _MIXER_DIM,
+            "ln1": {"scale": np.ones((dim,), dtype),
+                    "bias": np.zeros((dim,), dtype)},
+            "qkv": cm.linear_init(keys[next(ki)], dim,
+                                  3 * dim, dtype=dtype),
+            "proj": cm.linear_init(keys[next(ki)], dim, dim,
                                    dtype=dtype),
-            "ln2": {"scale": np.ones((_MIXER_DIM,), dtype),
-                    "bias": np.zeros((_MIXER_DIM,), dtype)},
-            "fc1": cm.linear_init(keys[next(ki)], _MIXER_DIM,
-                                  _MLP_RATIO * _MIXER_DIM, dtype=dtype),
-            "fc2": cm.linear_init(keys[next(ki)], _MLP_RATIO * _MIXER_DIM,
-                                  _MIXER_DIM, dtype=dtype),
+            "ln2": {"scale": np.ones((dim,), dtype),
+                    "bias": np.zeros((dim,), dtype)},
+            "fc1": cm.linear_init(keys[next(ki)], dim,
+                                  mlp_ratio * dim, dtype=dtype),
+            "fc2": cm.linear_init(keys[next(ki)], mlp_ratio * dim,
+                                  dim, dtype=dtype),
         }
         p["mixer"].append(blk)
-    p["head"] = cm.linear_init(keys[next(ki)], _MIXER_DIM, vocab_size,
+    p["head"] = cm.linear_init(keys[next(ki)], dim, vocab_size,
                                dtype=dtype)
     return p
 
@@ -88,7 +100,7 @@ def _layer_norm(x, p, eps=1e-6):
 
 def _attn(x, blk, valid_t=None):
     n, t, d = x.shape
-    h = _MIXER_HEADS
+    h = max(1, d // 32)  # 6 at the 192 default (= legacy _MIXER_HEADS)
     qkv = cm.linear(x, blk["qkv"]).reshape(n, t, 3, h, d // h)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     q = jnp.swapaxes(q, 1, 2)  # (n, h, t, dh)

@@ -92,17 +92,51 @@ def _dilate_converge(lab, mask, max_iters: int = 256):
 
 @functools.partial(jax.jit,
                    static_argnames=("max_k", "thresh", "box_thresh",
-                                    "unclip_ratio", "min_size"))
+                                    "unclip_ratio", "min_size", "scale"))
 def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
                  thresh: float = 0.3, box_thresh: float = 0.6,
-                 unclip_ratio: float = 1.5, min_size: float = 3.0
+                 unclip_ratio: float = 1.5, min_size: float = 3.0,
+                 scale: int = 1
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """prob: (H, W) float32 map (padded); valid region resize_h × resize_w.
 
     Returns (quads (max_k, 4, 2) float32 in map coords, scores (max_k,),
     valid (max_k,) bool). Quads are unclipped (DB d = A·r/P) PCA-oriented
     rectangles, corner order [tl, tr, br, bl] by the DB convention.
+
+    scale > 1 runs the whole extraction on a scale×-downsampled map — every
+    stage here is pixel-bound (measured: 78 of the onecall program's 155 ms
+    at 960², tools/profile_onecall.py), so scale=2 cuts it ~4×. The
+    binarization mask uses a scale² MAX-pool (thin strokes survive; geometry
+    dilates ≤ scale-1 px, within this path's documented ~1-2 px divergence
+    from the host contour contract) and scoring uses the scale² MEAN-pool
+    (rect-mean preserving). Output quads are always full map coords.
     """
+    if scale > 1:
+        s = int(scale)
+        H0, W0 = prob.shape
+        Hp, Wp = H0 // s, W0 // s
+        blocks = prob[:Hp * s, :Wp * s].reshape(Hp, s, Wp, s)
+        prob_mask = blocks.max(axis=(1, 3))
+        prob_score = blocks.mean(axis=(1, 3))
+        rh = -(-resize_h // s)
+        rw = -(-resize_w // s)
+        quads, score, valid = _device_boxes_impl(
+            prob_mask, prob_score, rh, rw, max_k, thresh, box_thresh,
+            unclip_ratio, min_size, s)
+        # ds cell i spans full px [s·i, s·i+s-1]; centers at s·i + (s-1)/2
+        quads = quads * float(s) + (s - 1) * 0.5
+        return quads, score, valid
+    return _device_boxes_impl(prob, prob, resize_h, resize_w, max_k,
+                              thresh, box_thresh, unclip_ratio, min_size, 1)
+
+
+def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
+                       thresh, box_thresh, unclip_ratio, min_size, scale
+                       ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Core extraction at the (possibly downsampled) working resolution.
+    prob: map used for thresholding/labeling; prob_score: map used for
+    box scoring; min_size is in FULL map px (scale converts)."""
     H, W = prob.shape
     ys, xs = jnp.mgrid[0:H, 0:W]
     in_valid = (ys < resize_h) & (xs < resize_w)
@@ -118,10 +152,18 @@ def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
     # smallest rep ids are simply the first k reps in flat order: an
     # exclusive cumsum ranks them (O(n) scan) — measured ~8x cheaper
     # than lax.top_k over the full map on the v5e.
-    reps = (mask & (lab == seed)).reshape(-1)
+    reps2d = mask & (lab == seed)
+    reps = reps2d.reshape(-1)
     seed_flat = seed.reshape(-1)
     maxint = jnp.int32(2147483647)
-    rank = jnp.cumsum(reps.astype(jnp.int32)) - reps.astype(jnp.int32)
+    # exclusive cumsum in raster order, restructured 2-D (row-local cumsum
+    # + row-offset prefix): a flat (H·W,) scan lowers poorly on TPU
+    # (measured 10.8 ms at 960²; this form is row-parallel)
+    rcnt = jnp.sum(reps2d.astype(jnp.int32), axis=1)
+    roff = jnp.cumsum(rcnt) - rcnt
+    within = jnp.cumsum(reps2d.astype(jnp.int32), axis=1) - \
+        reps2d.astype(jnp.int32)
+    rank = (roff[:, None] + within).reshape(-1)
     tgt = jnp.where(reps & (rank < max_k), rank, max_k)
     ids = jnp.full((max_k + 1,), maxint, jnp.int32)
     # each kept rank is written by exactly one rep; .min keeps the
@@ -208,11 +250,12 @@ def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
     dv0 = jnp.stack([vx, vy], -1) * (h_rect * 0.5)[:, None]
     pre_quads = jnp.stack(
         [c - du0 - dv0, c + du0 - dv0, c + du0 + dv0, c - du0 + dv0], axis=1)
-    score = _quad_mask_mean(prob, pre_quads, in_valid)
+    score = _quad_mask_mean(prob_score, pre_quads, in_valid)
 
     post_sside = jnp.minimum(w_rect + 2 * d, h_rect + 2 * d)
-    valid = present & (score >= box_thresh) & (sside >= min_size) & \
-        (post_sside >= min_size + 2)
+    fs = float(scale)  # side thresholds are in FULL map px
+    valid = present & (score >= box_thresh) & (sside * fs >= min_size) & \
+        (post_sside * fs >= min_size + 2)
     return quads, score, valid
 
 

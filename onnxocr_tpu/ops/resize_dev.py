@@ -31,35 +31,31 @@ def _resize_normalize_det(image_u8: jax.Array, src_h: jax.Array,
     resize_h × resize_w region is the bilinear resize of the valid source.
     """
     Hs, Ws = image_u8.shape[:2]
-    flat = image_u8.reshape(-1, 3)  # uint8; taps convert post-gather
 
     ys = jnp.arange(out_h, dtype=jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)
     sy = src_h.astype(jnp.float32) / resize_h.astype(jnp.float32)
     sx = src_w.astype(jnp.float32) / resize_w.astype(jnp.float32)
-    src_y = (ys + 0.5) * sy - 0.5
-    src_x = (xs + 0.5) * sx - 0.5
-    src_y = jnp.clip(src_y, 0.0, src_h.astype(jnp.float32) - 1.0)
-    src_x = jnp.clip(src_x, 0.0, src_w.astype(jnp.float32) - 1.0)
+    src_y = jnp.clip((ys + 0.5) * sy - 0.5, 0.0,
+                     src_h.astype(jnp.float32) - 1.0)
+    src_x = jnp.clip((xs + 0.5) * sx - 0.5, 0.0,
+                     src_w.astype(jnp.float32) - 1.0)
 
-    y0 = jnp.floor(src_y)
-    x0 = jnp.floor(src_x)
-    fy = (src_y - y0)[:, None, None]
-    fx = (src_x - x0)[None, :, None]
-    y0 = y0.astype(jnp.int32)
-    x0 = x0.astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, src_h - 1)
-    x1 = jnp.minimum(x0 + 1, src_w - 1)
-
-    def tap(yy, xx):
-        # uint8 gather, f32 conversion after (4x less gather bandwidth)
-        idx = yy[:, None] * Ws + xx[None, :]
-        return jnp.take(flat, idx.reshape(-1), axis=0).reshape(
-            out_h, out_w, 3).astype(jnp.float32)
-
-    top = tap(y0, x0) * (1 - fx) + tap(y0, x1) * fx
-    bot = tap(y1, x0) * (1 - fx) + tap(y1, x1) * fx
-    vals = top * (1 - fy) + bot * fy
+    # Separable bilinear as TWO dense matmuls instead of 4 full-canvas
+    # gathers (gathers are index-rate-bound on TPU: 16 ms at 960²,
+    # tools/profile_onecall.py r4; the MXU does this in <1 ms). Each
+    # weight row has exactly the two taps max(0, 1-|i-src|) of the
+    # half-pixel formula — same taps, same weights as the gather form.
+    iy = jnp.arange(Hs, dtype=jnp.float32)
+    ix = jnp.arange(Ws, dtype=jnp.float32)
+    Wy = jnp.maximum(0.0, 1.0 - jnp.abs(iy[None, :] - src_y[:, None]))
+    Wx = jnp.maximum(0.0, 1.0 - jnp.abs(ix[None, :] - src_x[:, None]))
+    # rows beyond the valid source never get weight: src_y <= src_h-1
+    # keeps taps at <= src_h-1 by construction (likewise columns)
+    tmp = (Wy @ image_u8.reshape(Hs, Ws * 3).astype(jnp.float32)
+           ).reshape(out_h, Ws, 3)
+    vals = jnp.einsum("hwc,xw->hxc", tmp, Wx,
+                      preferred_element_type=jnp.float32)
 
     # cv2.resize rounds to uint8 between resize and normalize; replicate.
     vals = jnp.round(jnp.clip(vals, 0.0, 255.0))

@@ -66,10 +66,58 @@ class OneCallPipeline:
         # minutes of XLA compile, and (src × canvas) combos multiply.
         self.fixed_canvas = bool(getattr(args, "tpu_onecall_fixed_canvas",
                                          True))
+        self.extract_scale = int(getattr(args, "tpu_det_extract_scale", 1))
         self._jit = {}
 
     # ------------------------------------------------------------- program
     def _build(self, use_cls: bool):
+        return jax.jit(self._make_step(use_cls),
+                       static_argnames=("out_h", "out_w"))
+
+    def sharded_batch_fn(self, use_cls: bool, mesh, out_h: int = 0,
+                         out_w: int = 0):
+        """Data-parallel batched onecall: the SAME per-page program, vmapped
+        over a page batch and sharded over the mesh's `data` axis (weights
+        replicated, zero collectives — pages are independent). This is the
+        multi-chip story for the default pipeline (VERDICT r3 #5): a B-page
+        wave on an N-chip mesh runs B/N pages per chip in one dispatch.
+
+        The det canvas (out_h, out_w) is a BUILD-time argument (pjit with
+        in_shardings takes no kwargs; with the fixed-canvas default there
+        is exactly one canvas anyway — defaults to it when 0).
+
+        Returns fn(det_p, cls_p, rec_p, images (B, Hs, Ws, 3) u8,
+        src_h/src_w/r_h/r_w (B,) i32) → (B, rows, wbuf) packed buffers,
+        each row-block decoding exactly like the single-page __call__
+        download."""
+        import jax.sharding as shd
+        P = shd.PartitionSpec
+        if not out_h or not out_w:
+            from ..ops import det_pre
+            cap = det_pre.round_up(int(self.detector.limit_side_len),
+                                   self.detector.bucket)
+            out_h = out_h or cap
+            out_w = out_w or cap
+        repl = shd.NamedSharding(mesh, P())
+        data1 = shd.NamedSharding(mesh, P("data"))
+        data4 = shd.NamedSharding(mesh, P("data", None, None, None))
+        step = self._make_step(use_cls)
+
+        def batched(det_p, cls_p, rec_p, images_u8, src_h, src_w,
+                    r_h, r_w):
+            return jax.vmap(
+                lambda im, sh, sw, rh, rw: step(
+                    det_p, cls_p, rec_p, im, sh, sw, rh, rw,
+                    out_h=out_h, out_w=out_w)
+            )(images_u8, src_h, src_w, r_h, r_w)
+
+        return jax.jit(
+            batched,
+            in_shardings=(repl, repl, repl, data4, data1, data1, data1,
+                          data1),
+            out_shardings=shd.NamedSharding(mesh, P("data", None, None)))
+
+    def _make_step(self, use_cls: bool):
         det_fwd = self.detector.forward
         pp = self.detector.postprocess_op
         fused = self.fused
@@ -104,7 +152,8 @@ class OneCallPipeline:
             quads_m, scores, valid = db_device.device_boxes(
                 prob.astype(jnp.float32), r_h, r_w, max_k=k_det,
                 thresh=pp.thresh, box_thresh=pp.box_thresh,
-                unclip_ratio=pp.unclip_ratio, min_size=float(pp.min_size))
+                unclip_ratio=pp.unclip_ratio, min_size=float(pp.min_size),
+                scale=self.extract_scale)
 
             # --- rescale map → source coords (unpack_boxes contract:
             # round, clip to [0, src])
@@ -181,7 +230,7 @@ class OneCallPipeline:
                            jnp.float32)]).reshape(n_det_rows, wbuf)
             return jnp.concatenate([body, tail, det_block], axis=0)
 
-        return jax.jit(step, static_argnames=("out_h", "out_w"))
+        return step
 
     # ---------------------------------------------------------------- host
     def __call__(self, img: np.ndarray, cls: bool

@@ -189,7 +189,8 @@ class DetPageBatcher:
                  batch_ladder: Sequence[int] = (1, 2, 4, 8), mesh=None,
                  post=None, max_boxes: int = 256, bucket: int = 320,
                  fixed_canvas: Optional[bool] = None,
-                 wire: str = "maps", det_thresh: float = 0.3):
+                 wire: str = "maps", det_thresh: float = 0.3,
+                 extract_scale: int = 1):
         assert limit_type == "max"
         self.forward = det_forward
         self.limit_side_len = limit_side_len
@@ -214,7 +215,8 @@ class DetPageBatcher:
         if post is not None:
             # boxes mode: det forward AND DB box extraction run on device
             # per batch; submit_boxes returns unpacked source-coord quads
-            fn = det_forward.make_pages_boxes_fn(post, max_boxes)
+            fn = det_forward.make_pages_boxes_fn(post, max_boxes,
+                                                 extract_scale=extract_scale)
             mesh = None  # sharded variant of the boxes program: not yet
         elif self.wire == "bits":
             # bitmap wire: only the bitpacked bitmaps download (one wave

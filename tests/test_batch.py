@@ -104,3 +104,135 @@ def test_vector_pdf_rasterizes(tmp_path):
     # text pixels present (page not blank) and background white
     assert (page < 128).any()
     assert (page == 255).mean() > 0.5
+
+
+def _make_mixed_pdf(path, img_rgb, img_filter=b"/FlateDecode",
+                    cs=b"/DeviceRGB", extra_img=b"", img_bytes=None,
+                    cm=b"300 0 0 200 100 400 cm"):
+    """Single page: one image XObject placed by `cm` PLUS a text run —
+    the mixed scanned-page case the rasterizer must compose."""
+    h, w = img_rgb.shape[:2]
+    if img_bytes is None:
+        img_bytes = zlib.compress(img_rgb.tobytes())
+    content = (b"q " + cm + b" /Im0 Do Q "
+               b"BT /F1 24 Tf 60 700 Td (Mixed Page) Tj ET")
+    comp = zlib.compress(content)
+    objs = [
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 "
+        b"/MediaBox [0 0 612 792] >>\nendobj\n",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 6 0 R >> /XObject << /Im0 4 0 R >> >> "
+        b"/Contents 5 0 R >>\nendobj\n",
+        b"4 0 obj\n<< /Type /XObject /Subtype /Image /Width " +
+        str(w).encode() + b" /Height " + str(h).encode() +
+        b" /ColorSpace " + cs + b" /BitsPerComponent 8 /Filter " +
+        img_filter + extra_img +
+        b" /Length " + str(len(img_bytes)).encode() + b" >>\nstream\n" +
+        img_bytes + b"\nendstream\nendobj\n",
+        b"5 0 obj\n<< /Length " + str(len(comp)).encode() +
+        b" /Filter /FlateDecode >>\nstream\n" + comp +
+        b"\nendstream\nendobj\n",
+        b"6 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n"
+        b"endobj\n",
+    ]
+    with open(path, "wb") as f:
+        f.write(b"%PDF-1.4\n" + b"".join(objs) + b"%%EOF\n")
+
+
+def test_raster_mixed_image_and_text(tmp_path):
+    """Image XObject + vector text compose on one rendered page
+    (reference renders any PDF via pymupdf, ocr_images_pdfs.py:22-35)."""
+    from onnxocr_tpu.batch import pdf_raster
+    img = np.full((50, 80, 3), (200, 30, 30), np.uint8)
+    p = str(tmp_path / "mixed.pdf")
+    _make_mixed_pdf(p, img)
+    pages = pdf_raster.render_pdf_pages(p, dpi=100)
+    assert len(pages) == 1
+    page = pages[0]
+    # red image block present (R dominant over G)
+    red = (page[:, :, 0].astype(int) - page[:, :, 1].astype(int)) > 100
+    assert red.sum() > 1000
+    # dark text pixels present too
+    assert (page.max(axis=2) < 100).any()
+
+
+def test_raster_image_jpeg_dct(tmp_path):
+    import io
+    from PIL import Image
+    from onnxocr_tpu.batch import pdf_raster
+    img = np.full((40, 60, 3), (20, 160, 220), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=95)
+    p = str(tmp_path / "jpeg.pdf")
+    _make_mixed_pdf(p, img, img_filter=b"/DCTDecode",
+                    img_bytes=buf.getvalue())
+    page = pdf_raster.render_pdf_pages(p, dpi=100)[0]
+    blue = (page[:, :, 2].astype(int) - page[:, :, 0].astype(int)) > 100
+    assert blue.sum() > 1000
+
+
+def test_raster_image_gray_predictor(tmp_path):
+    """8-bit gray bitmap behind PNG Up predictor (DecodeParms)."""
+    from onnxocr_tpu.batch import pdf_raster
+    h, w = 30, 40
+    gray = (np.arange(h * w, dtype=np.uint8).reshape(h, w) % 200)
+    # encode with PNG Up filter (type 2)
+    rows = []
+    prev = np.zeros((w,), np.int32)
+    for r in range(h):
+        cur = gray[r].astype(np.int32)
+        rows.append(bytes([2]) + ((cur - prev) & 0xFF).astype(
+            np.uint8).tobytes())
+        prev = cur
+    comp = zlib.compress(b"".join(rows))
+    p = str(tmp_path / "pred.pdf")
+    _make_mixed_pdf(p, np.stack([gray] * 3, -1), cs=b"/DeviceGray",
+                    extra_img=b" /DecodeParms << /Predictor 15 /Colors 1 "
+                              b"/Columns " + str(w).encode() + b" >>",
+                    img_bytes=comp)
+    page = pdf_raster.render_pdf_pages(p, dpi=100)[0]
+    assert page.std() > 5  # gradient came through, not a blank fill
+
+
+def test_raster_image_rotated_placement(tmp_path):
+    """Non-axis-aligned CTM goes through the affine-transform path."""
+    from onnxocr_tpu.batch import pdf_raster
+    img = np.full((40, 40, 3), (10, 180, 10), np.uint8)
+    p = str(tmp_path / "rot.pdf")
+    # 45° rotation: cm = [cos sin -sin cos tx ty] * scale
+    _make_mixed_pdf(p, img, cm=b"141 141 -141 141 300 300 cm")
+    page = pdf_raster.render_pdf_pages(p, dpi=100)[0]
+    green = (page[:, :, 1].astype(int) - page[:, :, 0].astype(int)) > 100
+    assert green.sum() > 1000
+
+
+def test_scanned_pdf_ocr_e2e(tmp_path):
+    """A scanned (image-only, rasterizer-path) PDF OCRs end-to-end
+    (VERDICT r3 #6)."""
+    import os as _os
+    from onnxocr_tpu import config as cfg_mod
+    rec_ck = cfg_mod.find_asset("ppocrv5/rec/native_params.npz")
+    det_ck = cfg_mod.find_asset("ppocrv5/det/native_params.npz")
+    if not (_os.path.exists(rec_ck) and _os.path.exists(det_ck)):
+        pytest.skip("trained native det/rec checkpoints not staged")
+    import cv2
+    from PIL import Image, ImageDraw, ImageFont
+    from onnxocr_tpu.batch import pdf_raster
+    from onnxocr_tpu import ONNXPaddleOcr
+
+    # "scan": white page with black text, embedded as a full-page image
+    scan = Image.new("RGB", (612, 300), (250, 250, 250))
+    draw = ImageDraw.Draw(scan)
+    font = ImageFont.truetype(
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", 42)
+    draw.text((60, 120), "SCAN 12345", fill=(10, 10, 10), font=font)
+    arr = np.asarray(scan)
+    p = str(tmp_path / "scan_e2e.pdf")
+    _make_mixed_pdf(p, arr, cm=b"612 0 0 300 0 492 cm")
+    page = pdf_raster.render_pdf_pages(p, dpi=150)[0]
+    model = ONNXPaddleOcr(use_angle_cls=False, use_gpu=False, drop_score=0.3,
+                          det_limit_side_len=640, tpu_det_bucket=320)
+    res = model.ocr(cv2.cvtColor(page, cv2.COLOR_RGB2BGR))
+    texts = " ".join(t for _, (t, _s) in res[0])
+    assert "12345" in texts.replace(" ", "")

@@ -92,3 +92,44 @@ def test_det_page_batcher_on_mesh():
         assert prob.shape == ref_prob.shape
         np.testing.assert_allclose(prob, ref_prob)
         np.testing.assert_allclose(shape_info, ref_shape)
+
+
+def test_sharded_onecall_batch():
+    """The DEFAULT (onecall) pipeline shards a page batch over the mesh's
+    data axis and its per-page packed buffers decode like the single-page
+    program's (VERDICT r3 #5)."""
+    import warnings
+    from onnxocr_tpu import ONNXPaddleOcr
+
+    mesh = mesh_lib.make_mesh(8, model_parallel=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        model = ONNXPaddleOcr(
+            use_angle_cls=True, use_gpu=False, tpu_pipeline="onecall",
+            det_limit_side_len=64, tpu_det_bucket=64,
+            tpu_onecall_rec_width=96, tpu_onecall_max_boxes=8,
+            tpu_onecall_det_candidates=32, tpu_allow_untrained=True)
+    oc = model._onecall
+    assert oc is not None
+    fn = oc.sharded_batch_fn(True, mesh, out_h=64, out_w=64)
+    B = 8
+    pages = np.full((B, 64, 64, 3), 255, np.uint8)
+    pages[:, 20:34, 8:56] = 0
+    dims = np.full((B,), 64, np.int32)
+    cls_p = oc.fused.cls_forward.pdev if oc.fused.cls_forward else {}
+    packed = np.asarray(fn(oc.detector.forward.pdev, cls_p,
+                           oc.fused.rec_forward.pdev,
+                           pages, dims, dims, dims, dims))
+    assert packed.shape[0] == B
+    # identical pages → identical per-page buffers, and the single-page
+    # program agrees with every row of the batch
+    for i in range(1, B):
+        np.testing.assert_allclose(packed[i], packed[0])
+    single = oc._build(True)
+    import jax.numpy as jnp
+    one = np.asarray(single(oc.detector.forward.pdev, cls_p,
+                            oc.fused.rec_forward.pdev,
+                            jnp.asarray(pages[0]), jnp.int32(64),
+                            jnp.int32(64), jnp.int32(64), jnp.int32(64),
+                            out_h=64, out_w=64))
+    np.testing.assert_allclose(one, packed[0], rtol=1e-5, atol=1e-5)

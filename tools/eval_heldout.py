@@ -179,10 +179,14 @@ def main():
                          "(e.g. bfloat16) — accuracy A/B for MXU dtypes")
     ap.add_argument("--pipeline", default="",
                     help="tpu_pipeline override (staged / onecall)")
+    ap.add_argument("--set", action="append", default=[],
+                    help="extra ONNXPaddleOcr kwarg override key=value "
+                         "(value auto-coerced int/float/str); repeatable")
     args = ap.parse_args()
 
     import cv2
-    if args.det_dir or args.rec_dir or args.tpu_dtype or args.pipeline:
+    if args.det_dir or args.rec_dir or args.tpu_dtype or args.pipeline or \
+            args.set:
         from onnxocr_tpu import ONNXPaddleOcr
         kw = {}
         if args.det_dir:
@@ -193,6 +197,15 @@ def main():
             kw["tpu_dtype"] = args.tpu_dtype
         if args.pipeline:
             kw["tpu_pipeline"] = args.pipeline
+        for item in args.set:
+            k, _, v = item.partition("=")
+            for cast in (int, float):
+                try:
+                    v = cast(v)
+                    break
+                except ValueError:
+                    continue
+            kw[k] = v
         model = ONNXPaddleOcr(use_angle_cls=True, use_gpu=False, **kw)
     else:
         from onnxocr_tpu.service import engine as engine_mod

@@ -31,7 +31,9 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
               widths: tuple = (), charset: str = "full", seed: int = 0,
               max_len: int = 14, structured_frac: float = 0.0,
               lowres_frac: float = 0.0, photo_frac: float = 0.0,
-              dotmatrix_frac: float = 0.0):
+              dotmatrix_frac: float = 0.0, rec_dim: int = 0,
+              rec_depth: int = 0, rec_width_mult: float = 1.0,
+              replay: int = 1):
     from onnxocr_tpu import config as cfg
     from onnxocr_tpu.train import synth, rec_trainer
     from onnxocr_tpu.models import svtr, crnn
@@ -59,7 +61,15 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
           f"renderable={len(renderer.charset)}")
 
     rng = jax.random.PRNGKey(seed)
-    params = model_mod.init(rng, vocab)
+    init_kw = {}
+    if model_mod is svtr:
+        if rec_dim:
+            init_kw["dim"] = rec_dim
+        if rec_depth:
+            init_kw["depth"] = rec_depth
+        if rec_width_mult != 1.0:
+            init_kw["width_mult"] = rec_width_mult
+    params = model_mod.init(rng, vocab, **init_kw)
     if init_from and os.path.exists(init_from):
         from onnxocr_tpu.utils import params_io as _pio
         params = _pio.load_tree(init_from)
@@ -99,9 +109,16 @@ def train_rec(steps: int, batch: int, width: int, lr: float, out: str,
     # striped by step parity so every width in the cycle keeps appearing
     queues = [queue.Queue(maxsize=3), queue.Queue(maxsize=3)]
 
+    # --replay k: feed each freshly-rendered batch k times. Training here
+    # is RENDER-bound (one host core; the device step is a fraction of the
+    # render time), so replay multiplies effective steps/sec by ~k at a
+    # mild sample-diversity cost (fresh data still arrives every k steps).
     def producer(r, qi):
+        b = None
         for s in range(qi, steps, 2):
-            queues[qi].put(gen_batch(r, s))
+            if b is None or (s // 2) % max(replay, 1) == 0:
+                b = gen_batch(r, s)
+            queues[qi].put(b)
 
     threading.Thread(target=producer, args=(renderer, 0), daemon=True).start()
     threading.Thread(target=producer, args=(renderer2, 1),
@@ -167,7 +184,7 @@ def _graft_matching(dst, src):
 def train_det(steps: int, batch: int, size: int, lr: float, out: str,
               arch: str = "mbv3", seed: int = 0, init_from: str = "",
               hard_frac: float = 0.0, table_frac: float = 0.0,
-              structured_frac: float = 0.0):
+              structured_frac: float = 0.0, replay: int = 1):
     from onnxocr_tpu import config as cfg
     from onnxocr_tpu.train import synth, det_trainer
     from onnxocr_tpu.utils import params_io
@@ -197,10 +214,14 @@ def train_det(steps: int, batch: int, size: int, lr: float, out: str,
     q = queue.Queue(maxsize=4)
     half = (batch + 1) // 2  # 2*half >= batch; consumer trims to batch
 
+    # --replay: same render-bound rationale as the rec trainer
     def producer(r, n_items):
-        for _ in range(n_items):
-            q.put(r.det_batch(half, size, hard_frac=hard_frac,
-                              table_frac=table_frac))
+        b = None
+        for i in range(n_items):
+            if b is None or i % max(replay, 1) == 0:
+                b = r.det_batch(half, size, hard_frac=hard_frac,
+                                table_frac=table_frac)
+            q.put(b)
 
     # two half-batch producers; the consumer stitches pairs
     threading.Thread(target=producer, args=(renderer, steps),
@@ -272,6 +293,16 @@ if __name__ == "__main__":
     ap.add_argument("--dotmatrix-frac", type=float, default=0.0,
                     help="probability a rec line renders as dot-matrix "
                          "print (boarding passes, receipt printers)")
+    ap.add_argument("--rec-dim", type=int, default=0,
+                    help="mixer dim for a from-scratch svtr (0 = default "
+                         "192); heads derive as dim//32")
+    ap.add_argument("--rec-depth", type=int, default=0,
+                    help="mixer depth for a from-scratch svtr (0 = 2)")
+    ap.add_argument("--rec-width-mult", type=float, default=1.0,
+                    help="conv-backbone channel multiplier (from-scratch)")
+    ap.add_argument("--replay", type=int, default=1,
+                    help="feed each rendered batch N times (render-bound "
+                         "host: ~N x steps/sec at slight diversity cost)")
     args = ap.parse_args()
     if args.which == "rec":
         out = args.out or asset_dir("ppocrv5", "rec", "native_params.npz")
@@ -284,11 +315,14 @@ if __name__ == "__main__":
                   structured_frac=args.structured_frac,
                   lowres_frac=args.lowres_frac,
                   photo_frac=args.photo_frac,
-                  dotmatrix_frac=args.dotmatrix_frac)
+                  dotmatrix_frac=args.dotmatrix_frac,
+                  rec_dim=args.rec_dim, rec_depth=args.rec_depth,
+                  rec_width_mult=args.rec_width_mult, replay=args.replay)
     else:
         out = args.out or asset_dir("ppocrv5", "det", "native_params.npz")
         train_det(args.steps, args.batch, args.size, args.lr, out,
                   arch=args.det_arch, seed=args.seed,
                   init_from=args.init_from, hard_frac=args.hard_frac,
                   table_frac=args.table_frac,
-                  structured_frac=args.structured_frac)
+                  structured_frac=args.structured_frac,
+                  replay=args.replay)
