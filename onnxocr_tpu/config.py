@@ -205,14 +205,16 @@ DEFAULTS = {
     # bit-identical). Quad box_type only; falls back to host otherwise.
     "tpu_det_postprocess": "host",
     "tpu_det_max_boxes": 1024,
-    # Device DB extraction working resolution: scale N runs labeling /
-    # moments / scoring on an N×-downsampled map (max-pool mask, mean-pool
-    # scores — ops/db_device.device_boxes). Every extraction stage is
-    # pixel-bound (78 of onecall's 155 device ms at 960², scale=1), so
-    # scale=2 cuts it ~4×; geometry moves ≤ scale-1 px (within the device
-    # path's documented divergence). Applies to the device/onecall paths
-    # only — the exact host contract never downsamples.
-    "tpu_det_extract_scale": 2,
+    # Device DB extraction working grid: 'SYxSX' (or int N = NxN) runs
+    # labeling/moments/scoring on a downsampled grid (max-pool mask,
+    # mean-pool scores, FULL-coordinate geometry — ops/db_device). Every
+    # extraction stage is pixel-bound (78 of onecall's 155 device ms at
+    # 960² at scale 1), so the cost drops ~sy·sx×. Default '1x2'
+    # (x-only): measured accuracy-neutral on the held-out set, while
+    # sy=2 merges text lines with <3 px vertical gaps (dense tables:
+    # recall 0.664→0.615). Applies to the device/onecall paths only —
+    # the exact host contract never downsamples.
+    "tpu_det_extract_scale": "1x2",
     # det→host wire: 'bitmap' downloads only the bitpacked DB bitmap (8x
     # smaller than the quantized map; ~12 ms vs ~90 ms on the tunneled
     # link) and defers box scoring to the fused cls+rec program against

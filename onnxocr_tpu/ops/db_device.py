@@ -90,53 +90,68 @@ def _dilate_converge(lab, mask, max_iters: int = 256):
     return lab
 
 
+def parse_extract_scale(val) -> Tuple[int, int]:
+    """Config value → (sy, sx). Accepts int (isotropic) or 'SYxSX' string
+    (e.g. '1x2' = x-only downsample, the line-separation-safe default)."""
+    if isinstance(val, (tuple, list)):
+        return int(val[0]), int(val[1])
+    if isinstance(val, str) and "x" in val:
+        a, _, b = val.partition("x")
+        return int(a), int(b)
+    s = int(val)
+    return s, s
+
+
 @functools.partial(jax.jit,
                    static_argnames=("max_k", "thresh", "box_thresh",
                                     "unclip_ratio", "min_size", "scale"))
 def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
                  thresh: float = 0.3, box_thresh: float = 0.6,
                  unclip_ratio: float = 1.5, min_size: float = 3.0,
-                 scale: int = 1
-                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                 scale=1) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """prob: (H, W) float32 map (padded); valid region resize_h × resize_w.
 
     Returns (quads (max_k, 4, 2) float32 in map coords, scores (max_k,),
     valid (max_k,) bool). Quads are unclipped (DB d = A·r/P) PCA-oriented
     rectangles, corner order [tl, tr, br, bl] by the DB convention.
 
-    scale > 1 runs the whole extraction on a scale×-downsampled map — every
-    stage here is pixel-bound (measured: 78 of the onecall program's 155 ms
-    at 960², tools/profile_onecall.py), so scale=2 cuts it ~4×. The
-    binarization mask uses a scale² MAX-pool (thin strokes survive; geometry
-    dilates ≤ scale-1 px, within this path's documented ~1-2 px divergence
-    from the host contour contract) and scoring uses the scale² MEAN-pool
-    (rect-mean preserving). Output quads are always full map coords.
+    scale — int or (sy, sx) — runs labeling/moments/scoring on a
+    downsampled grid: every stage here is pixel-bound (78 of the onecall
+    program's 155 device ms at 960², tools/profile_onecall.py), so the
+    cost drops ~sy·sx×. The mask uses a block MAX-pool (thin strokes
+    survive) and scoring the block MEAN-pool; geometry (moments, PCA,
+    extents, output quads) is computed in FULL map coordinates of the
+    block centers, so boxes move only by the ±(s-1)/2 quantization.
+    CAVEAT measured on synthetic line stacks: sy=2 MERGES text lines
+    separated by <3 px (a 2 px gap can straddle two ds rows) — the
+    anisotropic (1, 2) form keeps vertical separation exact and is the
+    accuracy-safe speed setting; isotropic 2 is the aggressive one.
     """
-    if scale > 1:
-        s = int(scale)
+    sy, sx = parse_extract_scale(scale)
+    if sy > 1 or sx > 1:
         H0, W0 = prob.shape
-        Hp, Wp = H0 // s, W0 // s
-        blocks = prob[:Hp * s, :Wp * s].reshape(Hp, s, Wp, s)
+        Hp, Wp = H0 // sy, W0 // sx
+        blocks = prob[:Hp * sy, :Wp * sx].reshape(Hp, sy, Wp, sx)
         prob_mask = blocks.max(axis=(1, 3))
         prob_score = blocks.mean(axis=(1, 3))
-        rh = -(-resize_h // s)
-        rw = -(-resize_w // s)
-        quads, score, valid = _device_boxes_impl(
-            prob_mask, prob_score, rh, rw, max_k, thresh, box_thresh,
-            unclip_ratio, min_size, s)
-        # ds cell i spans full px [s·i, s·i+s-1]; centers at s·i + (s-1)/2
-        quads = quads * float(s) + (s - 1) * 0.5
-        return quads, score, valid
+        rh = -(-resize_h // sy)
+        rw = -(-resize_w // sx)
+        return _device_boxes_impl(prob_mask, prob_score, rh, rw, max_k,
+                                  thresh, box_thresh, unclip_ratio,
+                                  min_size, sy, sx)
     return _device_boxes_impl(prob, prob, resize_h, resize_w, max_k,
-                              thresh, box_thresh, unclip_ratio, min_size, 1)
+                              thresh, box_thresh, unclip_ratio, min_size,
+                              1, 1)
 
 
 def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
-                       thresh, box_thresh, unclip_ratio, min_size, scale
+                       thresh, box_thresh, unclip_ratio, min_size, sy, sx
                        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Core extraction at the (possibly downsampled) working resolution.
+    """Core extraction on the (possibly downsampled) working grid.
     prob: map used for thresholding/labeling; prob_score: map used for
-    box scoring; min_size is in FULL map px (scale converts)."""
+    box scoring. Geometry runs in FULL map coords of the grid-cell
+    centers (x = sx·i + (sx-1)/2), so min_size and output quads need no
+    rescaling."""
     H, W = prob.shape
     ys, xs = jnp.mgrid[0:H, 0:W]
     in_valid = (ys < resize_h) & (xs < resize_w)
@@ -182,8 +197,10 @@ def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
     hit = (le > lt) & (flat_lab > 0)
     slot = jnp.where(hit, lt, max_k)
 
-    fx = xs.reshape(-1).astype(jnp.float32)
-    fy = ys.reshape(-1).astype(jnp.float32)
+    # FULL map coordinates of grid-cell centers: geometry below is
+    # scale-free (cell (i, j) covers full px [sx·i, sx·i+sx-1] × ...)
+    fx = xs.reshape(-1).astype(jnp.float32) * sx + (sx - 1) * 0.5
+    fy = ys.reshape(-1).astype(jnp.float32) * sy + (sy - 1) * 0.5
     fp = prob.reshape(-1).astype(jnp.float32)
     stats = jnp.stack([jnp.ones_like(fx), fx, fy, fx * fx, fy * fy,
                        fx * fy, fp], axis=-1)
@@ -250,12 +267,15 @@ def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
     dv0 = jnp.stack([vx, vy], -1) * (h_rect * 0.5)[:, None]
     pre_quads = jnp.stack(
         [c - du0 - dv0, c + du0 - dv0, c + du0 + dv0, c - du0 + dv0], axis=1)
-    score = _quad_mask_mean(prob_score, pre_quads, in_valid)
+    # the scorer rasterizes against the (downsampled) grid: full coords →
+    # grid coords
+    off = jnp.asarray([(sx - 1) * 0.5, (sy - 1) * 0.5], jnp.float32)
+    sc = jnp.asarray([float(sx), float(sy)], jnp.float32)
+    score = _quad_mask_mean(prob_score, (pre_quads - off) / sc, in_valid)
 
     post_sside = jnp.minimum(w_rect + 2 * d, h_rect + 2 * d)
-    fs = float(scale)  # side thresholds are in FULL map px
-    valid = present & (score >= box_thresh) & (sside * fs >= min_size) & \
-        (post_sside * fs >= min_size + 2)
+    valid = present & (score >= box_thresh) & (sside >= min_size) & \
+        (post_sside >= min_size + 2)
     return quads, score, valid
 
 

@@ -66,7 +66,8 @@ class OneCallPipeline:
         # minutes of XLA compile, and (src × canvas) combos multiply.
         self.fixed_canvas = bool(getattr(args, "tpu_onecall_fixed_canvas",
                                          True))
-        self.extract_scale = int(getattr(args, "tpu_det_extract_scale", 1))
+        self.extract_scale = db_device.parse_extract_scale(
+            getattr(args, "tpu_det_extract_scale", 1))
         self._jit = {}
 
     # ------------------------------------------------------------- program

@@ -190,7 +190,7 @@ class DetPageBatcher:
                  post=None, max_boxes: int = 256, bucket: int = 320,
                  fixed_canvas: Optional[bool] = None,
                  wire: str = "maps", det_thresh: float = 0.3,
-                 extract_scale: int = 1):
+                 extract_scale=1):
         assert limit_type == "max"
         self.forward = det_forward
         self.limit_side_len = limit_side_len

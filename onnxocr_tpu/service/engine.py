@@ -91,7 +91,14 @@ class EngineManager:
     @property
     def _pipeline_mode(self) -> str:
         import os
-        return os.environ.get("PIPELINE_MODE", "staged")
+        mode = os.environ.get("PIPELINE_MODE", "")
+        if mode:
+            return mode
+        # default: onecall on real TPU (one program + one download per
+        # page — measured squall-immune and faster on the tunneled link,
+        # BENCH r3/r4), staged elsewhere (CPU tests keep the cheap path)
+        import jax
+        return "onecall" if jax.default_backend() == "tpu" else "staged"
 
     @property
     def _det_batch(self) -> bool:

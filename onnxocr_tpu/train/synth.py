@@ -15,6 +15,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+_MPL_TTF = ("/opt/venv/lib/python3.12/site-packages/matplotlib/"
+            "mpl-data/fonts/ttf")
 FONTS = [
     "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf",
     "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf",
@@ -22,6 +24,22 @@ FONTS = [
     "/usr/share/fonts/truetype/dejavu/DejaVuSerif-Bold.ttf",
     "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
     "/usr/share/fonts/truetype/dejavu/DejaVuSansMono-Bold.ttf",
+    # matplotlib-bundled faces (style diversity beyond the 6 system
+    # DejaVus): oblique/italic variants + Computer Modern. STIXGeneral*
+    # and cmr10 are deliberately EXCLUDED — they are reserved for the
+    # independent held-out page generator (tools/make_heldout_synth.py),
+    # so eval pages use fonts training never saw. Missing files are
+    # skipped by the coverage scan below.
+    _MPL_TTF + "/DejaVuSans-Oblique.ttf",
+    _MPL_TTF + "/DejaVuSans-BoldOblique.ttf",
+    _MPL_TTF + "/DejaVuSerif-Italic.ttf",
+    _MPL_TTF + "/DejaVuSerif-BoldItalic.ttf",
+    _MPL_TTF + "/DejaVuSansMono-Oblique.ttf",
+    _MPL_TTF + "/DejaVuSansDisplay.ttf",
+    _MPL_TTF + "/DejaVuSerifDisplay.ttf",
+    _MPL_TTF + "/cmb10.ttf",
+    _MPL_TTF + "/cmss10.ttf",
+    _MPL_TTF + "/cmtt10.ttf",
 ]
 
 DEFAULT_CHARSET = string.ascii_letters + string.digits + \

@@ -150,3 +150,43 @@ def test_device_boxes_match_host_path():
                           np.sort(np.asarray(hq, np.float32).reshape(-1))
                           ).max() for q in quads)
         assert best <= 2.5, best
+
+
+def test_extract_scale_parse():
+    from onnxocr_tpu.ops import db_device
+    assert db_device.parse_extract_scale(1) == (1, 1)
+    assert db_device.parse_extract_scale(2) == (2, 2)
+    assert db_device.parse_extract_scale("1x2") == (1, 2)
+    assert db_device.parse_extract_scale((2, 1)) == (2, 1)
+
+
+def test_extract_scale_1x2_keeps_line_separation():
+    """The anisotropic working grid must NOT merge text lines with tight
+    vertical gaps — the failure that cost recall 0.664→0.615 when the
+    isotropic scale-2 max-pool bridged 2 px gaps (round-4 A/B)."""
+    import jax.numpy as jnp
+    from onnxocr_tpu.ops import db_device
+
+    H = W = 160
+    prob = np.zeros((H, W), np.float32)
+    y = 12  # 2 px gaps at odd alignment: the max-pool worst case
+    rows = []
+    for _ in range(4):
+        prob[y:y + 5, 10:150] = 0.85
+        rows.append(y)
+        y += 5 + 2
+
+    def n_boxes(scale):
+        q, s, v = db_device.device_boxes(
+            jnp.asarray(prob), jnp.int32(H), jnp.int32(W), max_k=32,
+            thresh=0.3, box_thresh=0.4, unclip_ratio=1.5, min_size=3.0,
+            scale=scale)
+        return int(np.asarray(v).sum()), np.asarray(q)[np.asarray(v)]
+
+    n1, q1 = n_boxes(1)
+    n12, q12 = n_boxes((1, 2))
+    assert n1 == 4
+    assert n12 == 4  # x-only downsample keeps the 4 lines separate
+    # geometry stays within ~1 px of the full-res extraction
+    np.testing.assert_allclose(np.sort(q12[:, :, 1].mean(axis=1)),
+                               np.sort(q1[:, :, 1].mean(axis=1)), atol=1.0)

@@ -179,6 +179,9 @@ def main():
                          "(e.g. bfloat16) — accuracy A/B for MXU dtypes")
     ap.add_argument("--pipeline", default="",
                     help="tpu_pipeline override (staged / onecall)")
+    ap.add_argument("--real-only", action="store_true",
+                    help="evaluate only the hand-transcribed real images "
+                         "(round-over-round comparable 122-line set)")
     ap.add_argument("--set", action="append", default=[],
                     help="extra ONNXPaddleOcr kwarg override key=value "
                          "(value auto-coerced int/float/str); repeatable")
@@ -212,33 +215,58 @@ def main():
         em = engine_mod.EngineManager(concurrency=1)
         model = em.get_model(args.model)
 
+    # eval sets: the hand-transcribed real images (truth anchor) + the
+    # committed held-out-font synthetic pages (tools/make_heldout_synth.py
+    # — STIX/cmr10 rendered via matplotlib, fonts/rasterizer the trainer
+    # never uses). Together ≥30 pages / ≥480 GT lines (VERDICT r3 #4).
+    synth_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "onnxocr_tpu", "test_images_heldout")
+    sets = [("real", REF_IMAGES, GROUND_TRUTH)]
+    gt_path = os.path.join(synth_dir, "gt.json")
+    if os.path.exists(gt_path) and not args.real_only:
+        with open(gt_path) as f:
+            sets.append(("synth", synth_dir, json.load(f)))
+
     per_image = {}
+    subtotals = {}
     sims, exact, found, total = [], 0, 0, 0
-    for fname, gt_lines in GROUND_TRUTH.items():
-        path = os.path.join(REF_IMAGES, fname)
-        img = cv2.imread(path)
-        if img is None:
-            continue
-        result = model.ocr(img)
-        preds = [entry[1][0] for entry in (result[0] or [])]
-        rows = []
-        for gt in gt_lines:
-            best, best_sim = "", 0.0
-            for p in preds:
-                s = similarity(gt, p)
-                if s > best_sim:
-                    best, best_sim = p, s
-            sims.append(best_sim)
-            exact += int(best_sim == 1.0)
-            found += int(best_sim >= 0.5)
-            total += 1
-            rows.append({"gt": gt, "pred": best,
-                         "sim": round(best_sim, 3)})
-        per_image[fname] = rows
-        if args.verbose:
-            for r in rows:
-                print(f"  {fname}: gt={r['gt']!r} pred={r['pred']!r} "
-                      f"sim={r['sim']}")
+    for set_name, img_dir, gt_map in sets:
+        s_sims, s_exact, s_found, s_total = [], 0, 0, 0
+        for fname, gt_lines in gt_map.items():
+            path = os.path.join(img_dir, fname)
+            img = cv2.imread(path)
+            if img is None:
+                continue
+            result = model.ocr(img)
+            preds = [entry[1][0] for entry in (result[0] or [])]
+            rows = []
+            for gt in gt_lines:
+                best, best_sim = "", 0.0
+                for p in preds:
+                    s = similarity(gt, p)
+                    if s > best_sim:
+                        best, best_sim = p, s
+                s_sims.append(best_sim)
+                s_exact += int(best_sim == 1.0)
+                s_found += int(best_sim >= 0.5)
+                s_total += 1
+                rows.append({"gt": gt, "pred": best,
+                             "sim": round(best_sim, 3)})
+            per_image[fname] = rows
+            if args.verbose:
+                for r in rows:
+                    print(f"  {fname}: gt={r['gt']!r} pred={r['pred']!r} "
+                          f"sim={r['sim']}")
+        sims += s_sims
+        exact += s_exact
+        found += s_found
+        total += s_total
+        subtotals[set_name] = {
+            "gt_lines": s_total,
+            "line_recall@0.5": round(s_found / max(s_total, 1), 3),
+            "char_accuracy": round(sum(s_sims) / max(len(s_sims), 1), 3),
+            "exact_match": s_exact,
+        }
 
     summary = {
         "model": args.model,
@@ -246,6 +274,7 @@ def main():
         "line_recall@0.5": round(found / max(total, 1), 3),
         "char_accuracy": round(sum(sims) / max(len(sims), 1), 3),
         "exact_match": exact,
+        "subtotals": subtotals,
     }
     if args.json:
         print(json.dumps({"summary": summary, "per_image": per_image},
