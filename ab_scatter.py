@@ -103,6 +103,48 @@ def mm_bcast(slot, hit):
     m = (slot[:, None] == jnp.arange(K, dtype=jnp.int32)[None, :])  # (n,K)
     return jnp.min(jnp.where(m[:, :, None], cols[:, None, :], big), axis=0)
 
+def mom_matmul_scan(slot, hit, fp, chunk=16384):
+    stats = jnp.stack([jnp.ones_like(fx), fx, fy, fx * fx, fy * fy,
+                       fx * fy, fp], axis=-1)
+    stats = jnp.where(hit[:, None], stats, 0.0)
+    n = slot.shape[0]
+    nch = n // chunk
+    ks = jnp.arange(K, dtype=jnp.int32)
+
+    def body(acc, inp):
+        sl, st = inp
+        oh = (sl[:, None] == ks[None, :]).astype(jnp.float32)
+        return acc + jnp.einsum("nk,nc->kc", oh, st,
+                                preferred_element_type=jnp.float32), None
+    acc0 = jnp.zeros((K, 7), jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (slot.reshape(nch, chunk),
+                                       stats.reshape(nch, chunk, 7)))
+    return out
+
+def mm_min_scan(slot, hit, chunk=8192):
+    cs = jnp.clip(slot, 0, K - 1)
+    pu = fx * ux[cs] + fy * uy[cs]
+    pv = fy * ux[cs] - fx * uy[cs]
+    big = jnp.float32(3.4e38)
+    cols = jnp.stack([pu, pv, -pu, -pv], -1)
+    cols = jnp.where(hit[:, None], cols, big)
+    n = slot.shape[0]
+    nch = n // chunk
+    ks = jnp.arange(K, dtype=jnp.int32)
+
+    def body(acc, inp):
+        sl, cl = inp
+        m = sl[:, None] == ks[None, :]                 # (chunk, K)
+        part = jnp.min(jnp.where(m[:, :, None], cl[:, None, :], big),
+                       axis=0)                          # (K, 4)
+        return jnp.minimum(acc, part), None
+    acc0 = jnp.full((K, 4), big, jnp.float32)
+    out, _ = jax.lax.scan(body, acc0, (slot.reshape(nch, chunk),
+                                       cols.reshape(nch, chunk, 4)))
+    return out
+
 c = timeit("minmax scatter (current)", jax.jit(mm_scatter), slot, hit)
-d = timeit("minmax broadcast reduce", jax.jit(mm_bcast), slot, hit)
-print("minmax agree:", bool(jnp.allclose(c, d)), flush=True)
+e = timeit("moments matmul scan", jax.jit(mom_matmul_scan), slot, hit, fp)
+print("moments scan agree:", bool(jnp.allclose(a, e, atol=1e-2)), flush=True)
+f = timeit("minmax min scan", jax.jit(mm_min_scan), slot, hit)
+print("minmax scan agree:", bool(jnp.allclose(c, f)), flush=True)

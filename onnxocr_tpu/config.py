@@ -215,6 +215,13 @@ DEFAULTS = {
     # recall 0.664→0.615). Applies to the device/onecall paths only —
     # the exact host contract never downsamples.
     "tpu_det_extract_scale": "1x2",
+    # Additional pooling of the SCORE grid only (on top of the working
+    # grid above), 'SYxSX' relative to the working grid. Scoring is a
+    # masked mean, so unlike mask y-pooling it cannot merge components —
+    # it only quantizes each box's mean-prob estimate (gates box_thresh).
+    # '1x1' = score on the working grid (exact w.r.t. the extraction
+    # contract); accuracy-gate any other value on the held-out set.
+    "tpu_det_score_scale": "1x1",
     # det→host wire: 'bitmap' downloads only the bitpacked DB bitmap (8x
     # smaller than the quantized map; ~12 ms vs ~90 ms on the tunneled
     # link) and defers box scoring to the fused cls+rec program against
@@ -254,6 +261,19 @@ DEFAULTS = {
     # make padding invisible, and collapsing the canvas compile axis cuts
     # warmup from (src × canvas) fused-program compiles to src-only.
     "tpu_onecall_fixed_canvas": True,
+    # Multi-page wave coalescing (onecall serving path): concurrent
+    # requests' prepared pages merge into one vmapped program + ONE
+    # download per wave (pipeline/onecall._WaveCoalescer). Deadline-aware
+    # by construction — a lone request dispatches immediately; only
+    # backlog coalesces, into the largest WARM tier below. Off for the
+    # library (it adds a dispatcher thread); the serving engine enables it
+    # when request concurrency > 1.
+    "tpu_onecall_wave": False,
+    # Wave tiers (page batch sizes) the coalescer may use. Each (source
+    # bucket × canvas × tier) is a distinct XLA program, compiled by a
+    # background warm pass the first time a key shows backlog — until
+    # then waves run batch-1, never stalling a live request on a compile.
+    "tpu_onecall_wave_tiers": "2,4",
     # Cross-request det page batching: concurrent images' DBNet forwards
     # coalesce into one device call (runtime/batcher.DetPageBatcher). Adds
     # up to tpu_microbatch_wait_ms latency per call, so it defaults off for

@@ -104,11 +104,13 @@ def parse_extract_scale(val) -> Tuple[int, int]:
 
 @functools.partial(jax.jit,
                    static_argnames=("max_k", "thresh", "box_thresh",
-                                    "unclip_ratio", "min_size", "scale"))
+                                    "unclip_ratio", "min_size", "scale",
+                                    "score_scale"))
 def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
                  thresh: float = 0.3, box_thresh: float = 0.6,
                  unclip_ratio: float = 1.5, min_size: float = 3.0,
-                 scale=1) -> Tuple[jax.Array, jax.Array, jax.Array]:
+                 scale=1, score_scale=1
+                 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """prob: (H, W) float32 map (padded); valid region resize_h × resize_w.
 
     Returns (quads (max_k, 4, 2) float32 in map coords, scores (max_k,),
@@ -128,6 +130,7 @@ def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
     accuracy-safe speed setting; isotropic 2 is the aggressive one.
     """
     sy, sx = parse_extract_scale(scale)
+    ssy, ssx = parse_extract_scale(score_scale)
     if sy > 1 or sx > 1:
         H0, W0 = prob.shape
         Hp, Wp = H0 // sy, W0 // sx
@@ -138,14 +141,15 @@ def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
         rw = -(-resize_w // sx)
         return _device_boxes_impl(prob_mask, prob_score, rh, rw, max_k,
                                   thresh, box_thresh, unclip_ratio,
-                                  min_size, sy, sx)
+                                  min_size, sy, sx, ssy, ssx)
     return _device_boxes_impl(prob, prob, resize_h, resize_w, max_k,
                               thresh, box_thresh, unclip_ratio, min_size,
-                              1, 1)
+                              1, 1, ssy, ssx)
 
 
 def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
-                       thresh, box_thresh, unclip_ratio, min_size, sy, sx
+                       thresh, box_thresh, unclip_ratio, min_size, sy, sx,
+                       ssy=1, ssx=1
                        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Core extraction on the (possibly downsampled) working grid.
     prob: map used for thresholding/labeling; prob_score: map used for
@@ -186,16 +190,24 @@ def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
     ids = ids.at[tgt].min(jnp.where(reps, seed_flat, maxint))[:max_k]
     present = ids < maxint
 
-    # map every pixel's label to its slot. ids is ascending with maxint
-    # padding, so slot = #(ids < lab); one fused broadcast compare+reduce
-    # over (n_pixels, max_k) stays on the VPU (no top_k, no searchsorted).
+    # map every pixel's label to its slot through a seed-indexed slot map:
+    # every rep scatters its raster rank at its own seed index, and each
+    # pixel gathers slot_map[label] (a component's label IS its rep's
+    # seed). Exactly equivalent to ranking by #(kept ids < label) but
+    # O(N) scatter+gather instead of the O(N·max_k) broadcast compare it
+    # replaces (the compare was ~11 of the 78 extraction ms at 960²,
+    # tools/profile_onecall.py db_rank_ids).
     flat_lab = lab.reshape(-1)
-    lt = jnp.sum((ids[None, :] < flat_lab[:, None]).astype(jnp.int32),
-                 axis=1)
-    le = jnp.sum((ids[None, :] <= flat_lab[:, None]).astype(jnp.int32),
-                 axis=1)
-    hit = (le > lt) & (flat_lab > 0)
-    slot = jnp.where(hit, lt, max_k)
+    n_cells = flat_lab.shape[0]
+    # non-reps write their (unread) rank to a dump slot; index n_cells+1
+    # is never gathered because labels are seeds (1..n_cells) or 0
+    slot_map = jnp.full((n_cells + 2,), jnp.int32(max_k))
+    slot_map = slot_map.at[
+        jnp.where(reps, seed_flat, n_cells + 1)
+    ].set(jnp.minimum(rank, max_k).astype(jnp.int32))
+    hit = flat_lab > 0
+    slot = jnp.where(hit, slot_map[flat_lab], max_k)
+    hit = hit & (slot < max_k)
 
     # FULL map coordinates of grid-cell centers: geometry below is
     # scale-free (cell (i, j) covers full px [sx·i, sx·i+sx-1] × ...)
@@ -268,10 +280,26 @@ def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
     pre_quads = jnp.stack(
         [c - du0 - dv0, c + du0 - dv0, c + du0 + dv0, c - du0 + dv0], axis=1)
     # the scorer rasterizes against the (downsampled) grid: full coords →
-    # grid coords
-    off = jnp.asarray([(sx - 1) * 0.5, (sy - 1) * 0.5], jnp.float32)
-    sc = jnp.asarray([float(sx), float(sy)], jnp.float32)
-    score = _quad_mask_mean(prob_score, (pre_quads - off) / sc, in_valid)
+    # grid coords. score_scale (ssy, ssx) pools the SCORE grid further —
+    # scoring is a masked mean, so (unlike the extraction mask, where
+    # y-pooling merges close text lines) a coarser score grid cannot merge
+    # components; it only quantizes each box's mean-prob estimate.
+    if ssy > 1 or ssx > 1:
+        Hs, Ws = H // ssy, W // ssx
+        ps = prob_score[:Hs * ssy, :Ws * ssx].reshape(
+            Hs, ssy, Ws, ssx).mean(axis=(1, 3))
+        ys2, xs2 = jnp.mgrid[0:Hs, 0:Ws]
+        in_valid2 = (ys2 < -(-resize_h // ssy)) & \
+            (xs2 < -(-resize_w // ssx))
+        tx, ty = sx * ssx, sy * ssy
+        off = jnp.asarray([(tx - 1) * 0.5, (ty - 1) * 0.5], jnp.float32)
+        sc = jnp.asarray([float(tx), float(ty)], jnp.float32)
+        score = _quad_mask_mean(ps, (pre_quads - off) / sc, in_valid2)
+    else:
+        off = jnp.asarray([(sx - 1) * 0.5, (sy - 1) * 0.5], jnp.float32)
+        sc = jnp.asarray([float(sx), float(sy)], jnp.float32)
+        score = _quad_mask_mean(prob_score, (pre_quads - off) / sc,
+                                in_valid)
 
     post_sside = jnp.minimum(w_rect + 2 * d, h_rect + 2 * d)
     valid = present & (score >= box_thresh) & (sside >= min_size) & \

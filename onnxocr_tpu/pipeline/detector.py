@@ -92,7 +92,8 @@ class TextDetector:
             max_boxes=int(getattr(self.args, "tpu_det_max_boxes", 256)),
             bucket=self.bucket, wire=wire,
             det_thresh=self.postprocess_op.thresh,
-            extract_scale=getattr(self.args, "tpu_det_extract_scale", 1))
+            extract_scale=getattr(self.args, "tpu_det_extract_scale", 1),
+            score_scale=getattr(self.args, "tpu_det_score_scale", 1))
         return True
 
     def order_points_clockwise(self, pts: np.ndarray) -> np.ndarray:
@@ -188,7 +189,9 @@ class TextDetector:
                     thresh=pp.thresh, box_thresh=pp.box_thresh,
                     unclip_ratio=pp.unclip_ratio, min_size=float(pp.min_size),
                     scale=db_device.parse_extract_scale(
-                        getattr(self.args, "tpu_det_extract_scale", 1)))
+                        getattr(self.args, "tpu_det_extract_scale", 1)),
+                    score_scale=db_device.parse_extract_scale(
+                        getattr(self.args, "tpu_det_score_scale", 1)))
                 return jnp.concatenate(
                     [quads.reshape(max_k, 8), scores[:, None],
                      valid[:, None].astype(jnp.float32)], axis=-1)

@@ -37,6 +37,7 @@ from the host contour path).
 from __future__ import annotations
 
 import math
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -68,7 +69,22 @@ class OneCallPipeline:
                                          True))
         self.extract_scale = db_device.parse_extract_scale(
             getattr(args, "tpu_det_extract_scale", 1))
+        self.score_scale = db_device.parse_extract_scale(
+            getattr(args, "tpu_det_score_scale", 1))
         self._jit = {}
+        self._jit_batched = {}
+        self._jit_lock = threading.Lock()
+        # Multi-page wave coalescing (serving path): concurrent requests'
+        # prepared pages merge into one vmapped program + ONE download per
+        # wave. Single in-flight requests never wait (the loop dispatches
+        # whatever is queued NOW — deadline-aware by construction).
+        self._wave = None
+        if getattr(args, "tpu_onecall_wave", False):
+            tiers = str(getattr(args, "tpu_onecall_wave_tiers", "2,4"))
+            tier_list = sorted({int(t) for t in tiers.split(",")
+                                if t.strip() and int(t) > 1})
+            if tier_list:
+                self._wave = _WaveCoalescer(self, tier_list)
 
     # ------------------------------------------------------------- program
     def _build(self, use_cls: bool):
@@ -154,7 +170,7 @@ class OneCallPipeline:
                 prob.astype(jnp.float32), r_h, r_w, max_k=k_det,
                 thresh=pp.thresh, box_thresh=pp.box_thresh,
                 unclip_ratio=pp.unclip_ratio, min_size=float(pp.min_size),
-                scale=self.extract_scale)
+                scale=self.extract_scale, score_scale=self.score_scale)
 
             # --- rescale map → source coords (unpack_boxes contract:
             # round, clip to [0, src])
@@ -255,14 +271,29 @@ class OneCallPipeline:
         else:
             hb = det_pre.round_up(rh, self.detector.bucket)
             wb = det_pre.round_up(rw, self.detector.bucket)
-        fn = self._jit.get(use_cls)
-        if fn is None:
-            fn = self._build(use_cls)
-            self._jit[use_cls] = fn
+        if self._wave is not None:
+            packed = self._wave.run(use_cls, image_dev, src_h, src_w,
+                                    rh, rw, hb, wb)
+        else:
+            packed = self._run_single(use_cls, image_dev, src_h, src_w,
+                                      rh, rw, hb, wb)
+        return self._decode_packed(packed, image_dev, use_cls)
+
+    def _params(self, use_cls: bool):
         det_p = self.detector.forward.pdev
         cls_p = self.fused.cls_forward.pdev if \
             (use_cls and self.fused.cls_forward is not None) else {}
         rec_p = self.fused.rec_forward.pdev
+        return det_p, cls_p, rec_p
+
+    def _run_single(self, use_cls, image_dev, src_h, src_w, rh, rw,
+                    hb, wb) -> np.ndarray:
+        with self._jit_lock:
+            fn = self._jit.get(use_cls)
+            if fn is None:
+                fn = self._build(use_cls)
+                self._jit[use_cls] = fn
+        det_p, cls_p, rec_p = self._params(use_cls)
         args = (det_p, cls_p, rec_p,
                 image_dev, jnp.int32(src_h), jnp.int32(src_w),
                 jnp.int32(rh), jnp.int32(rw))
@@ -270,7 +301,37 @@ class OneCallPipeline:
         CAPTURE.record("onecall",
                        lambda *a, _f=fn, _h=hb, _w=wb:
                        _f(*a, out_h=_h, out_w=_w), args)
-        packed = np.asarray(fn(*args, out_h=hb, out_w=wb))
+        return np.asarray(fn(*args, out_h=hb, out_w=wb))
+
+    def _get_batched(self, use_cls: bool, B: int, out_h: int, out_w: int):
+        """One jitted vmap-over-pages program per (use_cls, B, canvas) —
+        the single-device analog of sharded_batch_fn, used by the wave
+        coalescer. Output row-blocks decode exactly like the single-page
+        packed buffer."""
+        key = (use_cls, B, out_h, out_w)
+        with self._jit_lock:
+            fn = self._jit_batched.get(key)
+            if fn is None:
+                step = self._make_step(use_cls)
+
+                def batched(det_p, cls_p, rec_p, images_u8, src_h, src_w,
+                            r_h, r_w):
+                    return jax.vmap(
+                        lambda im, sh, sw, rhh, rww: step(
+                            det_p, cls_p, rec_p, im, sh, sw, rhh, rww,
+                            out_h=out_h, out_w=out_w)
+                    )(images_u8, src_h, src_w, r_h, r_w)
+
+                fn = jax.jit(batched)
+                self._jit_batched[key] = fn
+        return fn
+
+    def close(self):
+        if self._wave is not None:
+            self._wave.close()
+
+    def _decode_packed(self, packed: np.ndarray, image_dev, use_cls: bool
+                       ) -> Tuple[np.ndarray, List[Tuple[str, float]]]:
         body = packed[:self.k_rec]
         n_valid = int(packed[self.k_rec, 0])
         valid = body[:, 9] > 0.5
@@ -310,3 +371,155 @@ class OneCallPipeline:
                 (self.fused.cls_h, self.fused.cls_w), use_cls=use_cls)
             return boxes_all, rec_res + rec_rest
         return boxes, rec_res
+
+
+class _WaveReq:
+    __slots__ = ("key", "image_dev", "src_h", "src_w", "rh", "rw",
+                 "event", "packed", "error")
+
+    def __init__(self, key, image_dev, src_h, src_w, rh, rw):
+        self.key = key
+        self.image_dev = image_dev
+        self.src_h = src_h
+        self.src_w = src_w
+        self.rh = rh
+        self.rw = rw
+        self.event = threading.Event()
+        self.packed = None
+        self.error = None
+
+
+class _WaveCoalescer:
+    """Coalesce concurrent one-call pages into multi-page waves.
+
+    Serving requests arrive on engine executor threads (reference analog:
+    app/engine.py's semaphore + thread pool); each prepared page enqueues
+    here and a single dispatcher thread batches whatever is queued at
+    dispatch time into the largest WARM tier (2/4 pages → one vmapped
+    program, ONE download per wave). Deadline-aware by construction:
+    nothing ever waits on a timer — a lone request dispatches immediately
+    through the already-compiled single-page program, so unloaded latency
+    is unchanged while backlogged waves amortize the per-call RTT and the
+    per-page download (~30 ms each on the tunneled link).
+
+    Compile discipline (CLAUDE.md invariant): a (src bucket, canvas, B)
+    batch program is a distinct XLA compile, so tiers activate only after
+    a background warm pass compiles them (triggered the first time a key
+    shows backlog; device-resident zeros, no upload). Until then waves
+    run batch-1 — never a surprise multi-minute stall on a live request.
+    """
+
+    def __init__(self, pipe: OneCallPipeline, tiers: List[int]):
+        self.pipe = pipe
+        self.tiers = sorted(tiers, reverse=True)  # e.g. [4, 2]
+        self._lock = threading.Lock()
+        self._cv = threading.Condition(self._lock)
+        self._queue: List[_WaveReq] = []
+        self._ready = set()      # (key, B) with a compiled batch program
+        self._warming = set()
+        self._closed = False
+        self._hold = False       # test hook: pause dispatch
+        self.stats = {"waves": {}, "pages": 0}
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="onecall-wave")
+        self._thread.start()
+
+    # ------------------------------------------------------------- client
+    def run(self, use_cls, image_dev, src_h, src_w, rh, rw, hb, wb
+            ) -> np.ndarray:
+        key = (bool(use_cls), tuple(image_dev.shape), int(hb), int(wb))
+        req = _WaveReq(key, image_dev, int(src_h), int(src_w),
+                       int(rh), int(rw))
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("wave coalescer closed")
+            self._queue.append(req)
+            self._cv.notify()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.packed
+
+    def close(self):
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+
+    # ---------------------------------------------------------- dispatcher
+    def _loop(self):
+        while True:
+            with self._cv:
+                while (not self._queue or self._hold) and not self._closed:
+                    self._cv.wait(0.1)
+                if self._closed and not self._queue:
+                    return
+                if self._hold and not self._closed:
+                    continue
+                key = self._queue[0].key
+                group = [r for r in self._queue if r.key == key]
+                want = next((t for t in self.tiers if t <= len(group)), 1)
+                B = next((t for t in self.tiers
+                          if t <= len(group) and (key, t) in self._ready),
+                         1)
+                if want > B and (key, want) not in self._warming:
+                    self._warming.add((key, want))
+                    threading.Thread(target=self._warm, daemon=True,
+                                     args=(key, want)).start()
+                batch = group[:B]
+                for r in batch:
+                    self._queue.remove(r)
+            try:
+                self._dispatch(key, batch)
+            except Exception as e:  # noqa: BLE001 — report to the callers
+                for r in batch:
+                    r.error = e
+                    r.event.set()
+
+    def _dispatch(self, key, batch: List[_WaveReq]):
+        use_cls, _, hb, wb = key
+        pipe = self.pipe
+        self.stats["pages"] += len(batch)
+        self.stats["waves"][len(batch)] = \
+            self.stats["waves"].get(len(batch), 0) + 1
+        if len(batch) == 1:
+            r = batch[0]
+            r.packed = pipe._run_single(use_cls, r.image_dev, r.src_h,
+                                        r.src_w, r.rh, r.rw, hb, wb)
+            r.event.set()
+            return
+        fn = pipe._get_batched(use_cls, len(batch), hb, wb)
+        det_p, cls_p, rec_p = pipe._params(use_cls)
+        images = jnp.stack([r.image_dev for r in batch])
+        sh = jnp.array([r.src_h for r in batch], jnp.int32)
+        sw = jnp.array([r.src_w for r in batch], jnp.int32)
+        rh = jnp.array([r.rh for r in batch], jnp.int32)
+        rw = jnp.array([r.rw for r in batch], jnp.int32)
+        out = np.asarray(fn(det_p, cls_p, rec_p, images, sh, sw, rh, rw))
+        for i, r in enumerate(batch):
+            r.packed = out[i]
+            r.event.set()
+
+    def _warm(self, key, B: int):
+        """Compile the (key, B) batch program off the request path, on
+        device-resident zeros (no host upload)."""
+        try:
+            use_cls, src_shape, hb, wb = key
+            fn = self.pipe._get_batched(use_cls, B, hb, wb)
+            det_p, cls_p, rec_p = self.pipe._params(use_cls)
+            images = jnp.zeros((B,) + tuple(src_shape), jnp.uint8)
+            ones = jnp.full((B,), 32, jnp.int32)
+            jax.block_until_ready(
+                fn(det_p, cls_p, rec_p, images, ones, ones, ones, ones))
+            with self._cv:
+                self._ready.add((key, B))
+        except Exception:
+            pass
+        finally:
+            with self._cv:
+                self._warming.discard((key, B))
+
+    def warm_sync(self, use_cls: bool, src_shape, hb: int, wb: int,
+                  B: int):
+        """Blocking tier warm-up (engine warmup / tests)."""
+        key = (bool(use_cls), tuple(src_shape), int(hb), int(wb))
+        self._warm(key, B)

@@ -86,6 +86,11 @@ class EngineManager:
             kwargs["tpu_pipeline"] = "onecall"
             kwargs.pop("tpu_det_microbatch", None)
             kwargs.pop("tpu_rec_microbatch", None)
+            if self._wave_batch:
+                # concurrent requests' pages coalesce into 2/4-page waves
+                # through one vmapped program + one download per wave
+                # (deadline-aware: lone requests never wait)
+                kwargs["tpu_onecall_wave"] = True
         return kwargs
 
     @property
@@ -110,6 +115,12 @@ class EngineManager:
     def _rec_batch(self) -> bool:
         import os
         return os.environ.get("REC_BATCH", "1").lower() in ("1", "true") \
+            and self.concurrency > 1
+
+    @property
+    def _wave_batch(self) -> bool:
+        import os
+        return os.environ.get("WAVE_BATCH", "1").lower() in ("1", "true") \
             and self.concurrency > 1
 
     @property
@@ -189,6 +200,7 @@ class EngineManager:
             model = self.get_model(self.default_model)
             model.ocr(test_img)
             self._warm_rec_coalesce(model)
+            self._warm_onecall_waves(model)
             self._ready = True
         except Exception:
             self._ready = False
@@ -224,6 +236,30 @@ class EngineManager:
             batcher.warm_canonical(
                 fused, sb, rec.rec_image_shape[1],
                 use_cls=bool(model.use_angle_cls), prob_shape=prob_shape)
+
+    @staticmethod
+    def _warm_onecall_waves(model):
+        """Pre-compile the onecall wave-tier programs for the buckets in
+        WARMUP_SRC_BUCKETS (same contract as _warm_rec_coalesce) so the
+        first concurrent burst coalesces immediately instead of running
+        batch-1 until the background warm lands."""
+        import os
+        spec = os.environ.get("WARMUP_SRC_BUCKETS", "")
+        oc = getattr(model, "_onecall", None)
+        if not spec or oc is None or oc._wave is None:
+            return
+        from ..ops import det_pre, resize_dev
+        det = model.text_detector
+        cap = det_pre.round_up(int(det.limit_side_len), det.bucket)
+        use_cls = bool(model.use_angle_cls)
+        for part in spec.split(","):
+            try:
+                h, w = (int(x) for x in part.lower().split("x"))
+            except ValueError:
+                continue
+            sb = resize_dev.src_bucket_shape(h, w) + (3,)
+            for tier in oc._wave.tiers:
+                oc._wave.warm_sync(use_cls, sb, cap, cap, tier)
 
     @property
     def ready(self) -> bool:

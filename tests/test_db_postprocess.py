@@ -190,3 +190,36 @@ def test_extract_scale_1x2_keeps_line_separation():
     # geometry stays within ~1 px of the full-res extraction
     np.testing.assert_allclose(np.sort(q12[:, :, 1].mean(axis=1)),
                                np.sort(q1[:, :, 1].mean(axis=1)), atol=1.0)
+
+
+def test_score_scale_pools_scores_only():
+    """tpu_det_score_scale pools the SCORE grid only: box count and
+    geometry are bit-identical to score_scale=1 (extraction is
+    untouched); scores move only by the pooled-mean quantization."""
+    import jax.numpy as jnp
+    from onnxocr_tpu.ops import db_device
+
+    H = W = 160
+    prob = np.zeros((H, W), np.float32)
+    prob[20:40, 10:120] = 0.9
+    prob[60:80, 30:140] = 0.7
+    prob[110:130, 20:90] = 0.85
+
+    def run(score_scale):
+        q, s, v = db_device.device_boxes(
+            jnp.asarray(prob), jnp.int32(H), jnp.int32(W), max_k=16,
+            thresh=0.3, box_thresh=0.4, unclip_ratio=1.5, min_size=3.0,
+            scale=(1, 2), score_scale=score_scale)
+        v = np.asarray(v)
+        return np.asarray(q)[v], np.asarray(s)[v]
+
+    q1, s1 = run(1)
+    q2, s2 = run((2, 1))
+    assert len(q1) == len(q2) == 3
+    np.testing.assert_array_equal(q1, q2)  # geometry untouched
+    # pooled-mean scores are DEFLATED by boundary-row dilution (a pooled
+    # edge cell averages bar and background rows): ~2/height relative on
+    # hard-edged bars, less on soft DBNet shrink maps. This bias gates
+    # against box_thresh — why any non-1x1 value needs a held-out gate.
+    np.testing.assert_allclose(s1, s2, rtol=0.13)
+    assert (s2 <= s1 + 1e-6).all()

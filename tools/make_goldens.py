@@ -15,7 +15,16 @@ import warnings
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 warnings.filterwarnings("ignore")
 
-import numpy as np
+# goldens MUST be captured on the same platform the regression test
+# replays on (tests/conftest.py forces CPU): a TPU capture bakes in
+# device-vs-host numeric drift and test_goldens fails at HEAD. Env var
+# alone may not stick (CLAUDE.md) — set the config too, before first use.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
 
 GOLDEN_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests", "goldens.json")

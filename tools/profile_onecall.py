@@ -151,28 +151,46 @@ def main():
 
     @jax.jit
     def s_rank(lab, seed, mask):
-        reps = (mask & (lab == seed)).reshape(-1)
+        # mirrors _device_boxes_impl: 2-D restructured exclusive cumsum
+        reps2d = mask & (lab == seed)
+        reps = reps2d.reshape(-1)
         seed_flat = seed.reshape(-1)
         maxint = jnp.int32(2147483647)
-        rank = jnp.cumsum(reps.astype(jnp.int32)) - reps.astype(jnp.int32)
+        rcnt = jnp.sum(reps2d.astype(jnp.int32), axis=1)
+        roff = jnp.cumsum(rcnt) - rcnt
+        within = jnp.cumsum(reps2d.astype(jnp.int32), axis=1) - \
+            reps2d.astype(jnp.int32)
+        rank = (roff[:, None] + within).reshape(-1)
         tgt = jnp.where(reps & (rank < k_det), rank, k_det)
         ids = jnp.full((k_det + 1,), maxint, jnp.int32)
         ids = ids.at[tgt].min(jnp.where(reps, seed_flat, maxint))[:k_det]
-        return ids
+        return ids, rank
     results["db_rank_ids"] = timeit("db_rank_ids", s_rank, (lab, seed, mask))
-    ids = s_rank(lab, seed, mask)
+    ids, _ = s_rank(lab, seed, mask)
 
     @jax.jit
-    def s_slot(lab, ids):
+    def s_slot(lab, seed, mask):
+        # mirrors _device_boxes_impl: seed-indexed slot map (scatter+gather)
+        reps2d = mask & (lab == seed)
+        reps = reps2d.reshape(-1)
+        seed_flat = seed.reshape(-1)
+        rcnt = jnp.sum(reps2d.astype(jnp.int32), axis=1)
+        roff = jnp.cumsum(rcnt) - rcnt
+        within = jnp.cumsum(reps2d.astype(jnp.int32), axis=1) - \
+            reps2d.astype(jnp.int32)
+        rank = (roff[:, None] + within).reshape(-1)
         flat_lab = lab.reshape(-1)
-        lt = jnp.sum((ids[None, :] < flat_lab[:, None]).astype(jnp.int32),
-                     axis=1)
-        le = jnp.sum((ids[None, :] <= flat_lab[:, None]).astype(jnp.int32),
-                     axis=1)
-        hit = (le > lt) & (flat_lab > 0)
-        return jnp.where(hit, lt, k_det), hit
-    results["db_slot_assign"] = timeit("db_slot_assign", s_slot, (lab, ids))
-    slot, hit = s_slot(lab, ids)
+        n_cells = flat_lab.shape[0]
+        slot_map = jnp.full((n_cells + 2,), jnp.int32(k_det))
+        slot_map = slot_map.at[
+            jnp.where(reps, seed_flat, n_cells + 1)
+        ].set(jnp.minimum(rank, k_det).astype(jnp.int32))
+        hit = flat_lab > 0
+        slot = jnp.where(hit, slot_map[flat_lab], k_det)
+        return slot, hit & (slot < k_det)
+    results["db_slot_assign"] = timeit("db_slot_assign", s_slot,
+                                       (lab, seed, mask))
+    slot, hit = s_slot(lab, seed, mask)
 
     @jax.jit
     def s_stats(slot, hit, prob):
