@@ -222,6 +222,12 @@ DEFAULTS = {
     # '1x1' = score on the working grid (exact w.r.t. the extraction
     # contract); accuracy-gate any other value on the held-out set.
     "tpu_det_score_scale": "1x1",
+    # Per-component reduction strategy in device DB extraction:
+    # 'scatter' = scatter-add / scatter-min (XLA lowers TPU scatters
+    # serially); 'scan' = chunked masked-select + dense VPU reduce
+    # (_seg_sum_scan/_seg_min_scan) — same math, different lowering.
+    # Default decided by on-chip A/B; both are exact up to f32 sum order.
+    "tpu_db_reduce": "scatter",
     # det→host wire: 'bitmap' downloads only the bitpacked DB bitmap (8x
     # smaller than the quantized map; ~12 ms vs ~90 ms on the tunneled
     # link) and defers box scoring to the fused cls+rec program against

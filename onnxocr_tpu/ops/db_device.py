@@ -90,6 +90,56 @@ def _dilate_converge(lab, mask, max_iters: int = 256):
     return lab
 
 
+def _seg_sum_scan(slot, vals, K: int, chunk: int = 8192):
+    """Segment-sum vals (n, C) by slot into (K, C) via a chunked
+    masked-select + VPU f32 reduce instead of a scatter-add: the TPU
+    lowers scatter serially while the (chunk, K) compare + sum is dense
+    vector work. Rows with slot >= K contribute nothing."""
+    n, C = vals.shape
+    pad = (-n) % chunk
+    if pad:
+        slot = jnp.concatenate([slot, jnp.full((pad,), K, jnp.int32)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad, C), vals.dtype)])
+    nch = (n + pad) // chunk
+    ks = jnp.arange(K, dtype=jnp.int32)
+
+    def body(acc, inp):
+        sl, st = inp
+        m = sl[:, None] == ks[None, :]                  # (chunk, K)
+        part = jnp.sum(jnp.where(m[:, :, None], st[:, None, :], 0.0),
+                       axis=0)                           # (K, C)
+        return acc + part, None
+
+    out, _ = lax.scan(body, jnp.zeros((K, C), vals.dtype),
+                      (slot.reshape(nch, chunk),
+                       vals.reshape(nch, chunk, C)))
+    return out
+
+
+def _seg_min_scan(slot, vals, K: int, big, chunk: int = 8192):
+    """Segment-min counterpart of _seg_sum_scan. Rows with slot >= K (or
+    pre-masked to `big`) never win."""
+    n, C = vals.shape
+    pad = (-n) % chunk
+    if pad:
+        slot = jnp.concatenate([slot, jnp.full((pad,), K, jnp.int32)])
+        vals = jnp.concatenate([vals, jnp.full((pad, C), big, vals.dtype)])
+    nch = (n + pad) // chunk
+    ks = jnp.arange(K, dtype=jnp.int32)
+
+    def body(acc, inp):
+        sl, cl = inp
+        m = sl[:, None] == ks[None, :]
+        part = jnp.min(jnp.where(m[:, :, None], cl[:, None, :], big),
+                       axis=0)
+        return jnp.minimum(acc, part), None
+
+    out, _ = lax.scan(body, jnp.full((K, C), big, vals.dtype),
+                      (slot.reshape(nch, chunk),
+                       vals.reshape(nch, chunk, C)))
+    return out
+
+
 def parse_extract_scale(val) -> Tuple[int, int]:
     """Config value → (sy, sx). Accepts int (isotropic) or 'SYxSX' string
     (e.g. '1x2' = x-only downsample, the line-separation-safe default)."""
@@ -105,11 +155,11 @@ def parse_extract_scale(val) -> Tuple[int, int]:
 @functools.partial(jax.jit,
                    static_argnames=("max_k", "thresh", "box_thresh",
                                     "unclip_ratio", "min_size", "scale",
-                                    "score_scale"))
+                                    "score_scale", "reduce"))
 def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
                  thresh: float = 0.3, box_thresh: float = 0.6,
                  unclip_ratio: float = 1.5, min_size: float = 3.0,
-                 scale=1, score_scale=1
+                 scale=1, score_scale=1, reduce="scatter"
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """prob: (H, W) float32 map (padded); valid region resize_h × resize_w.
 
@@ -141,15 +191,15 @@ def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
         rw = -(-resize_w // sx)
         return _device_boxes_impl(prob_mask, prob_score, rh, rw, max_k,
                                   thresh, box_thresh, unclip_ratio,
-                                  min_size, sy, sx, ssy, ssx)
+                                  min_size, sy, sx, ssy, ssx, reduce)
     return _device_boxes_impl(prob, prob, resize_h, resize_w, max_k,
                               thresh, box_thresh, unclip_ratio, min_size,
-                              1, 1, ssy, ssx)
+                              1, 1, ssy, ssx, reduce)
 
 
 def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
                        thresh, box_thresh, unclip_ratio, min_size, sy, sx,
-                       ssy=1, ssx=1
+                       ssy=1, ssx=1, reduce="scatter"
                        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Core extraction on the (possibly downsampled) working grid.
     prob: map used for thresholding/labeling; prob_score: map used for
@@ -216,9 +266,12 @@ def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
     fp = prob.reshape(-1).astype(jnp.float32)
     stats = jnp.stack([jnp.ones_like(fx), fx, fy, fx * fx, fy * fy,
                        fx * fy, fp], axis=-1)
-    acc = jnp.zeros((max_k + 1, stats.shape[-1]), jnp.float32)
-    acc = acc.at[slot].add(jnp.where(hit[:, None], stats, 0.0))
-    acc = acc[:max_k]
+    stats = jnp.where(hit[:, None], stats, 0.0)
+    if reduce == "scan":
+        acc = _seg_sum_scan(slot, stats, max_k)
+    else:
+        acc = jnp.zeros((max_k + 1, stats.shape[-1]), jnp.float32)
+        acc = acc.at[slot].add(stats)[:max_k]
     n = jnp.maximum(acc[:, 0], 1.0)
     mx, my = acc[:, 1] / n, acc[:, 2] / n
     cxx = acc[:, 3] / n - mx * mx
@@ -248,8 +301,11 @@ def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
     big = jnp.float32(3.4e38)
     cols = jnp.stack([pu, pv, -pu, -pv], -1)
     cols = jnp.where(hit[:, None], cols, big)
-    ext = jnp.full((max_k + 1, 4), big, jnp.float32)
-    ext = ext.at[slot].min(cols)[:max_k]
+    if reduce == "scan":
+        ext = _seg_min_scan(slot, cols, max_k, big)
+    else:
+        ext = jnp.full((max_k + 1, 4), big, jnp.float32)
+        ext = ext.at[slot].min(cols)[:max_k]
     mins = ext[:, :2]
     maxs = -ext[:, 2:]
 

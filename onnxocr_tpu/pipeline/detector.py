@@ -93,7 +93,8 @@ class TextDetector:
             bucket=self.bucket, wire=wire,
             det_thresh=self.postprocess_op.thresh,
             extract_scale=getattr(self.args, "tpu_det_extract_scale", 1),
-            score_scale=getattr(self.args, "tpu_det_score_scale", 1))
+            score_scale=getattr(self.args, "tpu_det_score_scale", 1),
+            db_reduce=str(getattr(self.args, "tpu_db_reduce", "scatter")))
         return True
 
     def order_points_clockwise(self, pts: np.ndarray) -> np.ndarray:
@@ -191,7 +192,9 @@ class TextDetector:
                     scale=db_device.parse_extract_scale(
                         getattr(self.args, "tpu_det_extract_scale", 1)),
                     score_scale=db_device.parse_extract_scale(
-                        getattr(self.args, "tpu_det_score_scale", 1)))
+                        getattr(self.args, "tpu_det_score_scale", 1)),
+                    reduce=str(getattr(self.args, "tpu_db_reduce",
+                                       "scatter")))
                 return jnp.concatenate(
                     [quads.reshape(max_k, 8), scores[:, None],
                      valid[:, None].astype(jnp.float32)], axis=-1)

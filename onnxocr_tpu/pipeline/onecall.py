@@ -71,6 +71,7 @@ class OneCallPipeline:
             getattr(args, "tpu_det_extract_scale", 1))
         self.score_scale = db_device.parse_extract_scale(
             getattr(args, "tpu_det_score_scale", 1))
+        self.db_reduce = str(getattr(args, "tpu_db_reduce", "scatter"))
         self._jit = {}
         self._jit_batched = {}
         self._jit_lock = threading.Lock()
@@ -170,7 +171,8 @@ class OneCallPipeline:
                 prob.astype(jnp.float32), r_h, r_w, max_k=k_det,
                 thresh=pp.thresh, box_thresh=pp.box_thresh,
                 unclip_ratio=pp.unclip_ratio, min_size=float(pp.min_size),
-                scale=self.extract_scale, score_scale=self.score_scale)
+                scale=self.extract_scale, score_scale=self.score_scale,
+                reduce=self.db_reduce)
 
             # --- rescale map → source coords (unpack_boxes contract:
             # round, clip to [0, src])

@@ -190,7 +190,7 @@ class DetPageBatcher:
                  post=None, max_boxes: int = 256, bucket: int = 320,
                  fixed_canvas: Optional[bool] = None,
                  wire: str = "maps", det_thresh: float = 0.3,
-                 extract_scale=1, score_scale=1):
+                 extract_scale=1, score_scale=1, db_reduce="scatter"):
         assert limit_type == "max"
         self.forward = det_forward
         self.limit_side_len = limit_side_len
@@ -217,7 +217,8 @@ class DetPageBatcher:
             # per batch; submit_boxes returns unpacked source-coord quads
             fn = det_forward.make_pages_boxes_fn(post, max_boxes,
                                                  extract_scale=extract_scale,
-                                                 score_scale=score_scale)
+                                                 score_scale=score_scale,
+                                                 reduce=db_reduce)
             mesh = None  # sharded variant of the boxes program: not yet
         elif self.wire == "bits":
             # bitmap wire: only the bitpacked bitmaps download (one wave

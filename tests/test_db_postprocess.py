@@ -223,3 +223,33 @@ def test_score_scale_pools_scores_only():
     # against box_thresh — why any non-1x1 value needs a held-out gate.
     np.testing.assert_allclose(s1, s2, rtol=0.13)
     assert (s2 <= s1 + 1e-6).all()
+
+
+def test_db_reduce_scan_matches_scatter():
+    """tpu_db_reduce='scan' (_seg_sum_scan/_seg_min_scan) is the same math
+    as the scatter reductions, lowered differently — quads/scores/valid
+    must agree to float tolerance, including the non-chunk-aligned pad
+    path and the 1x2 working grid."""
+    import jax.numpy as jnp
+    from onnxocr_tpu.ops import db_device
+
+    rng = np.random.default_rng(3)
+    prob = np.zeros((160, 192), np.float32)
+    prob[20:40, 10:120] = 0.9
+    for t in np.linspace(0, 1, 400):
+        x, y = 30 + t * 100, 70 + t * 55
+        prob[int(y):int(y) + 8, int(x):int(x) + 8] = 0.85
+    prob[120:134, 20:180] = 0.8 + rng.random((14, 160)).astype(np.float32) * .15
+    jprob = jnp.asarray(prob)
+
+    for scale in (1, (1, 2)):
+        qa, sa, va = db_device.device_boxes(jprob, 160, 192, max_k=16,
+                                            scale=scale, reduce="scatter")
+        qb, sb, vb = db_device.device_boxes(jprob, 160, 192, max_k=16,
+                                            scale=scale, reduce="scan")
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+        m = np.asarray(va)
+        np.testing.assert_allclose(np.asarray(qa)[m], np.asarray(qb)[m],
+                                   atol=1e-2)
+        np.testing.assert_allclose(np.asarray(sa)[m], np.asarray(sb)[m],
+                                   atol=1e-4)
