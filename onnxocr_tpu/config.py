@@ -226,8 +226,11 @@ DEFAULTS = {
     # 'scatter' = scatter-add / scatter-min (XLA lowers TPU scatters
     # serially); 'scan' = chunked masked-select + dense VPU reduce
     # (_seg_sum_scan/_seg_min_scan) — same math, different lowering.
-    # Default decided by on-chip A/B; both are exact up to f32 sum order.
-    "tpu_db_reduce": "scatter",
+    # Default decided by on-chip A/B (scan wins the full onecall program
+    # 93.4 vs 98.2 ms at 960² and is held-out output-equal: r4 window 3,
+    # oc_scan 0.864/0.764 vs oc_scatter 0.862/0.763, real subtotal
+    # identical); both are exact up to f32 sum order.
+    "tpu_db_reduce": "scan",
     # det→host wire: 'bitmap' downloads only the bitpacked DB bitmap (8x
     # smaller than the quantized map; ~12 ms vs ~90 ms on the tunneled
     # link) and defers box scoring to the fused cls+rec program against
