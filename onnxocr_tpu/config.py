@@ -222,6 +222,13 @@ DEFAULTS = {
     # '1x1' = score on the working grid (exact w.r.t. the extraction
     # contract); accuracy-gate any other value on the held-out set.
     "tpu_det_score_scale": "1x1",
+    # Static budget for the box scorer: only candidates surviving the
+    # geometric filters (present, min_size, post-unclip size) are scored
+    # — the scorer is linear in K while real pages have <100 survivors.
+    # EXACT at any input: if survivors overflow the budget a lax.cond
+    # falls back to scoring all tpu_onecall_det_candidates. 0 = score
+    # everything unconditionally.
+    "tpu_det_score_k": 128,
     # Per-component reduction strategy in device DB extraction:
     # 'scatter' = scatter-add / scatter-min (XLA lowers TPU scatters
     # serially); 'scan' = chunked masked-select + dense VPU reduce

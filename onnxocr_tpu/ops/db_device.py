@@ -155,11 +155,11 @@ def parse_extract_scale(val) -> Tuple[int, int]:
 @functools.partial(jax.jit,
                    static_argnames=("max_k", "thresh", "box_thresh",
                                     "unclip_ratio", "min_size", "scale",
-                                    "score_scale", "reduce"))
+                                    "score_scale", "reduce", "score_k"))
 def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
                  thresh: float = 0.3, box_thresh: float = 0.6,
                  unclip_ratio: float = 1.5, min_size: float = 3.0,
-                 scale=1, score_scale=1, reduce="scatter"
+                 scale=1, score_scale=1, reduce="scatter", score_k: int = 0
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """prob: (H, W) float32 map (padded); valid region resize_h × resize_w.
 
@@ -191,15 +191,16 @@ def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
         rw = -(-resize_w // sx)
         return _device_boxes_impl(prob_mask, prob_score, rh, rw, max_k,
                                   thresh, box_thresh, unclip_ratio,
-                                  min_size, sy, sx, ssy, ssx, reduce)
+                                  min_size, sy, sx, ssy, ssx, reduce,
+                                  score_k)
     return _device_boxes_impl(prob, prob, resize_h, resize_w, max_k,
                               thresh, box_thresh, unclip_ratio, min_size,
-                              1, 1, ssy, ssx, reduce)
+                              1, 1, ssy, ssx, reduce, score_k)
 
 
 def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
                        thresh, box_thresh, unclip_ratio, min_size, sy, sx,
-                       ssy=1, ssx=1, reduce="scatter"
+                       ssy=1, ssx=1, reduce="scatter", score_k=0
                        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Core extraction on the (possibly downsampled) working grid.
     prob: map used for thresholding/labeling; prob_score: map used for
@@ -342,24 +343,49 @@ def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
     # components; it only quantizes each box's mean-prob estimate.
     if ssy > 1 or ssx > 1:
         Hs, Ws = H // ssy, W // ssx
-        ps = prob_score[:Hs * ssy, :Ws * ssx].reshape(
+        grid_prob = prob_score[:Hs * ssy, :Ws * ssx].reshape(
             Hs, ssy, Ws, ssx).mean(axis=(1, 3))
         ys2, xs2 = jnp.mgrid[0:Hs, 0:Ws]
-        in_valid2 = (ys2 < -(-resize_h // ssy)) & \
+        grid_valid = (ys2 < -(-resize_h // ssy)) & \
             (xs2 < -(-resize_w // ssx))
         tx, ty = sx * ssx, sy * ssy
         off = jnp.asarray([(tx - 1) * 0.5, (ty - 1) * 0.5], jnp.float32)
         sc = jnp.asarray([float(tx), float(ty)], jnp.float32)
-        score = _quad_mask_mean(ps, (pre_quads - off) / sc, in_valid2)
     else:
+        grid_prob, grid_valid = prob_score, in_valid
         off = jnp.asarray([(sx - 1) * 0.5, (sy - 1) * 0.5], jnp.float32)
         sc = jnp.asarray([float(sx), float(sy)], jnp.float32)
-        score = _quad_mask_mean(prob_score, (pre_quads - off) / sc,
-                                in_valid)
+    q_grid = (pre_quads - off) / sc
+    masked_sc = jnp.where(grid_valid, grid_prob, 0.0)
+    csum = jnp.concatenate(
+        [jnp.zeros((masked_sc.shape[0], 1), jnp.float32),
+         jnp.cumsum(masked_sc.astype(jnp.float32), axis=1)], axis=1)
 
     post_sside = jnp.minimum(w_rect + 2 * d, h_rect + 2 * d)
-    valid = present & (score >= box_thresh) & (sside >= min_size) & \
-        (post_sside >= min_size + 2)
+    geo = present & (sside >= min_size) & (post_sside >= min_size + 2)
+    if 0 < score_k < max_k:
+        # Score only the candidates that survive the geometric filters:
+        # the scorer's cost is linear in K ((K, H) interval lookups —
+        # 24.6 ms standalone at K=1024/960², tools/profile_onecall.py
+        # db_quad_score) while real pages have <100 survivors. Raster
+        # order is preserved by the stable argsort, and exactness by the
+        # lax.cond: if survivors overflow score_k, the full-K scorer
+        # runs instead, so every geometric survivor is ALWAYS scored —
+        # identical output to score_k=0 at any input.
+        n_geo = jnp.sum(geo.astype(jnp.int32))
+        order = jnp.argsort(jnp.where(geo, 0, 1), stable=True)
+        take = order[:score_k]
+
+        def _score_subset(q):
+            sub = _quads_vs_csum(csum, q[take])
+            return jnp.zeros((max_k,), jnp.float32).at[take].set(sub)
+
+        score = lax.cond(n_geo > score_k,
+                         lambda q: _quads_vs_csum(csum, q),
+                         _score_subset, q_grid)
+    else:
+        score = _quads_vs_csum(csum, q_grid)
+    valid = geo & (score >= box_thresh)
     return quads, score, valid
 
 

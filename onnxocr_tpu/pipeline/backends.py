@@ -267,7 +267,7 @@ class DetForward(_ParamsAsArgs):
         return lambda batch: jitted(self.pdev, batch)
 
     def make_pages_boxes_fn(self, pp, max_k: int, extract_scale=1,
-                            score_scale=1, reduce="scatter"):
+                            score_scale=1, reduce="scatter", score_k=0):
         """Batched det + ON-DEVICE box extraction: (B, Hb, Wb, 3) uint8 det
         canvases + (B, 2) resize extents → (B, max_k, 10) packed rows
         [8 quad coords, score, valid] (ops/db_device.py). Only kilobytes
@@ -281,7 +281,7 @@ class DetForward(_ParamsAsArgs):
                 min_size=float(pp.min_size),
                 scale=db_device.parse_extract_scale(extract_scale),
                 score_scale=db_device.parse_extract_scale(score_scale),
-                reduce=reduce)
+                reduce=reduce, score_k=score_k)
             return jnp.concatenate(
                 [quads.reshape(max_k, 8), scores[:, None],
                  valid[:, None].astype(jnp.float32)], axis=-1)

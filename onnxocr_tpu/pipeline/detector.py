@@ -94,7 +94,8 @@ class TextDetector:
             det_thresh=self.postprocess_op.thresh,
             extract_scale=getattr(self.args, "tpu_det_extract_scale", 1),
             score_scale=getattr(self.args, "tpu_det_score_scale", 1),
-            db_reduce=str(getattr(self.args, "tpu_db_reduce", "scatter")))
+            db_reduce=str(getattr(self.args, "tpu_db_reduce", "scatter")),
+            score_k=int(getattr(self.args, "tpu_det_score_k", 0)))
         return True
 
     def order_points_clockwise(self, pts: np.ndarray) -> np.ndarray:
@@ -194,7 +195,8 @@ class TextDetector:
                     score_scale=db_device.parse_extract_scale(
                         getattr(self.args, "tpu_det_score_scale", 1)),
                     reduce=str(getattr(self.args, "tpu_db_reduce",
-                                       "scatter")))
+                                       "scatter")),
+                    score_k=int(getattr(self.args, "tpu_det_score_k", 0)))
                 return jnp.concatenate(
                     [quads.reshape(max_k, 8), scores[:, None],
                      valid[:, None].astype(jnp.float32)], axis=-1)

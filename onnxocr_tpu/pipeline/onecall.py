@@ -72,6 +72,7 @@ class OneCallPipeline:
         self.score_scale = db_device.parse_extract_scale(
             getattr(args, "tpu_det_score_scale", 1))
         self.db_reduce = str(getattr(args, "tpu_db_reduce", "scatter"))
+        self.score_k = int(getattr(args, "tpu_det_score_k", 0))
         self._jit = {}
         self._jit_batched = {}
         self._jit_lock = threading.Lock()
@@ -172,7 +173,7 @@ class OneCallPipeline:
                 thresh=pp.thresh, box_thresh=pp.box_thresh,
                 unclip_ratio=pp.unclip_ratio, min_size=float(pp.min_size),
                 scale=self.extract_scale, score_scale=self.score_scale,
-                reduce=self.db_reduce)
+                reduce=self.db_reduce, score_k=self.score_k)
 
             # --- rescale map → source coords (unpack_boxes contract:
             # round, clip to [0, src])

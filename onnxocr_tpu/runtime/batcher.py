@@ -190,7 +190,8 @@ class DetPageBatcher:
                  post=None, max_boxes: int = 256, bucket: int = 320,
                  fixed_canvas: Optional[bool] = None,
                  wire: str = "maps", det_thresh: float = 0.3,
-                 extract_scale=1, score_scale=1, db_reduce="scatter"):
+                 extract_scale=1, score_scale=1, db_reduce="scatter",
+                 score_k=0):
         assert limit_type == "max"
         self.forward = det_forward
         self.limit_side_len = limit_side_len
@@ -218,7 +219,8 @@ class DetPageBatcher:
             fn = det_forward.make_pages_boxes_fn(post, max_boxes,
                                                  extract_scale=extract_scale,
                                                  score_scale=score_scale,
-                                                 reduce=db_reduce)
+                                                 reduce=db_reduce,
+                                                 score_k=score_k)
             mesh = None  # sharded variant of the boxes program: not yet
         elif self.wire == "bits":
             # bitmap wire: only the bitpacked bitmaps download (one wave

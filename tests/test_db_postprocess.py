@@ -225,6 +225,51 @@ def test_score_scale_pools_scores_only():
     assert (s2 <= s1 + 1e-6).all()
 
 
+def test_score_k_subset_is_exact():
+    """tpu_det_score_k scores only geometric survivors but must be
+    OUTPUT-IDENTICAL to scoring everything: (a) typical pages (survivors
+    fit the budget) take the subset branch, (b) survivor overflow takes
+    the lax.cond full-K fallback — both must reproduce score_k=0 bit-for-
+    bit on quads/scores/valid."""
+    import jax.numpy as jnp
+    from onnxocr_tpu.ops import db_device
+
+    H = W = 160
+    prob = np.zeros((H, W), np.float32)
+    # 6 separated bars (geometric survivors), scores straddling box_thresh
+    vals = [0.9, 0.45, 0.7, 0.35, 0.85, 0.5]
+    for i, v in enumerate(vals):
+        y = 8 + i * 24
+        prob[y:y + 10, 10:140] = v
+    # speckle field: components that FAIL min_size (present, not geo)
+    rng = np.random.default_rng(7)
+    for _ in range(30):
+        y, x = rng.integers(4, H - 4), rng.integers(145, W - 3)
+        prob[y, x] = 0.95
+    jprob = jnp.asarray(prob)
+
+    def run(score_k):
+        return [np.asarray(a) for a in db_device.device_boxes(
+            jprob, jnp.int32(H), jnp.int32(W), max_k=64, thresh=0.3,
+            box_thresh=0.4, unclip_ratio=1.5, min_size=3.0,
+            scale=(1, 2), score_k=score_k)]
+
+    q0, s0, v0 = run(0)
+    # subset branch: 6 survivors < budget 16
+    q1, s1, v1 = run(16)
+    # overflow branch: 6 survivors > budget 2 → cond falls back to full-K
+    q2, s2, v2 = run(2)
+    np.testing.assert_array_equal(v0, v1)
+    np.testing.assert_array_equal(v0, v2)
+    np.testing.assert_array_equal(q0, q1)
+    np.testing.assert_array_equal(q0, q2)
+    # subset scores match on every VALID row (non-survivors score 0 in
+    # the subset branch — they are invalid either way)
+    np.testing.assert_array_equal(s0[v0], s1[v1])
+    np.testing.assert_array_equal(s0[v0], s2[v2])
+    assert v0.sum() >= 3  # the gate: several bars clear box_thresh
+
+
 def test_db_reduce_scan_matches_scatter():
     """tpu_db_reduce='scan' (_seg_sum_scan/_seg_min_scan) is the same math
     as the scatter reductions, lowered differently — quads/scores/valid
