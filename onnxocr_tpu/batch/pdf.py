@@ -32,13 +32,18 @@ except ImportError:
 def pdf_to_images(pdf_path: str, dpi: int = 200) -> List[np.ndarray]:
     if fitz is not None:
         return _pymupdf_pages(pdf_path, dpi)
+    # Malformed/truncated PDFs must degrade per-file, never kill a batch
+    # (reference contract: per-item error reporting,
+    # onnxocr/ocr_images_pdfs.py:86-95). Any failure in one extractor —
+    # not just a clean RuntimeError — falls through to the next; only
+    # when all fail does the call raise, and the batch layer catches it.
     try:
         return extract_embedded_images(pdf_path)
-    except RuntimeError as img_err:
+    except Exception as img_err:  # noqa: BLE001 — fall through by design
         from . import pdf_raster
         try:
             return pdf_raster.render_pdf_pages(pdf_path, dpi=min(dpi, 200))
-        except RuntimeError as vec_err:
+        except Exception as vec_err:  # noqa: BLE001
             raise RuntimeError(f"{img_err}; {vec_err}") from None
 
 

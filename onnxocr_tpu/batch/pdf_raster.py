@@ -296,6 +296,20 @@ def _decode_image_xobject(objs: _Objects, num: int) -> Optional[np.ndarray]:
     w, h = int(wm.group(1)), int(hm.group(1))
     bm = re.search(rb"/BitsPerComponent\s+(\d+)", head)
     bpc = int(bm.group(1)) if bm else 8
+    # Filters we cannot decode (reference gets them free via pymupdf,
+    # onnxocr/ocr_images_pdfs.py:22-35) degrade per-image with a warning —
+    # the page still renders its text/other images, the batch never dies.
+    unsupported = re.findall(
+        rb"/(CCITTFaxDecode|JBIG2Decode|JPXDecode|LZWDecode|"
+        rb"RunLengthDecode|CCF|LZW|RL)\b", head.split(b"stream")[0])
+    if unsupported:
+        import logging
+        logging.getLogger(__name__).warning(
+            "pdf_raster: unsupported image filter %s — skipping image "
+            "XObject (obj %d)",
+            b",".join(sorted(set(unsupported))).decode("ascii",
+                                                       "replace"), num)
+        return None
     filters = re.findall(
         rb"/(DCTDecode|FlateDecode|ASCIIHexDecode|ASCII85Decode|DCT|Fl)\b",
         head.split(b"stream")[0])

@@ -236,3 +236,85 @@ def test_scanned_pdf_ocr_e2e(tmp_path):
     res = model.ocr(cv2.cvtColor(page, cv2.COLOR_RGB2BGR))
     texts = " ".join(t for _, (t, _s) in res[0])
     assert "12345" in texts.replace(" ", "")
+
+
+# ------------------------------------------------------- filter hardening
+# VERDICT r4 "What's missing" #3: CCITTFax/JBIG2/JPX streams and malformed
+# PDFs must degrade per-item with a warning, never crash the batch
+# (reference per-item error contract, ocr_images_pdfs.py:86-95).
+
+def test_raster_unsupported_filter_warns_and_skips(tmp_path, caplog):
+    import logging
+    from onnxocr_tpu.batch import pdf_raster
+    img = np.full((40, 60, 3), 128, np.uint8)
+    p = str(tmp_path / "ccitt.pdf")
+    _make_mixed_pdf(p, img, img_filter=b"/CCITTFaxDecode",
+                    img_bytes=b"\x00" * 64)
+    with caplog.at_level(logging.WARNING):
+        pages = pdf_raster.render_pdf_pages(p, dpi=100)
+    # page still renders (text run survives), image skipped with a warning
+    assert len(pages) == 1
+    assert (pages[0].max(axis=2) < 100).any()
+    assert any("CCITTFaxDecode" in r.message for r in caplog.records)
+
+
+@pytest.mark.parametrize("filt", [b"/JBIG2Decode", b"/JPXDecode",
+                                  b"/LZWDecode"])
+def test_raster_other_unsupported_filters(tmp_path, filt):
+    from onnxocr_tpu.batch import pdf_raster
+    img = np.full((40, 60, 3), 128, np.uint8)
+    p = str(tmp_path / "unsup.pdf")
+    _make_mixed_pdf(p, img, img_filter=filt, img_bytes=b"\xff" * 32)
+    pages = pdf_raster.render_pdf_pages(p, dpi=100)  # must not raise
+    assert len(pages) == 1
+
+
+def test_pdf_garbage_bytes_raise_cleanly(tmp_path):
+    from onnxocr_tpu.batch import pdf
+    p = str(tmp_path / "garbage.pdf")
+    with open(p, "wb") as f:
+        f.write(b"%PDF-1.4\n" + os.urandom(4096))
+    with pytest.raises(RuntimeError):
+        pdf.pdf_to_images(p)
+
+
+def test_pdf_truncated_stream_degrades(tmp_path):
+    """Image stream cut mid-way: the Flate decode fails, the page still
+    renders its text content instead of crashing."""
+    from onnxocr_tpu.batch import pdf_raster
+    img = np.full((50, 80, 3), 99, np.uint8)
+    whole = zlib.compress(img.tobytes())
+    p = str(tmp_path / "trunc.pdf")
+    _make_mixed_pdf(p, img, img_bytes=whole[:len(whole) // 3])
+    pages = pdf_raster.render_pdf_pages(p, dpi=100)
+    assert len(pages) == 1
+    assert (pages[0].max(axis=2) < 100).any()  # text still there
+
+
+def test_batch_isolates_broken_pdf(tmp_path):
+    """One malformed PDF in a batch doesn't fail the other files."""
+    import cv2
+    from onnxocr_tpu.batch.logic import OCRLogic
+
+    good = str(tmp_path / "ok.png")
+    cv2.imwrite(good, np.full((64, 64, 3), 255, np.uint8))
+    bad = str(tmp_path / "broken.pdf")
+    with open(bad, "wb") as f:
+        f.write(b"%PDF-1.7\n\xde\xad\xbe\xef trailer garbage")
+
+    class _Null:
+        text_detector = None
+
+        def ocr(self, img):
+            return [[]]
+
+    msgs = []
+    logic = OCRLogic.__new__(OCRLogic)  # no model init
+    logic.status_callback = msgs.append
+    logic.model = _Null()
+    logic._batching_enabled = True
+    out = logic.run([bad, good], save_txt=False, merge_txt=False)
+    # the broken PDF yields empty text, the good image is still processed
+    assert out[0] == ""
+    assert any("read failed" in m and "broken.pdf" in m for m in msgs)
+    assert out[1] == "[未检测到内容]"
