@@ -116,6 +116,35 @@ def _seg_sum_scan(slot, vals, K: int, chunk: int = 8192):
     return out
 
 
+def _seg_sum_dot(slot, vals, K: int, chunk: int = 16384):
+    """Segment-sum via chunked one-hot matmul on the MXU. The one-hot
+    mask is exactly 0/1 and HIGHEST precision keeps f32 accumulation, so
+    this is numerically equivalent to _seg_sum_scan up to f32 addition
+    order — but the compare+select+reduce moves from the VPU (O(N·K)
+    vector ops) to the MXU (the round-4 einsum attempt was rejected on
+    DEFAULT-precision bf16 products; HIGHEST removes that)."""
+    n, C = vals.shape
+    pad = (-n) % chunk
+    if pad:
+        slot = jnp.concatenate([slot, jnp.full((pad,), K, jnp.int32)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad, C), vals.dtype)])
+    nch = (n + pad) // chunk
+    ks = jnp.arange(K, dtype=jnp.int32)
+
+    def body(acc, inp):
+        sl, st = inp
+        m = (sl[:, None] == ks[None, :]).astype(jnp.float32)  # (chunk, K)
+        part = lax.dot_general(m, st, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=lax.Precision.HIGHEST)  # (K, C)
+        return acc + part, None
+
+    out, _ = lax.scan(body, jnp.zeros((K, C), jnp.float32),
+                      (slot.reshape(nch, chunk),
+                       vals.reshape(nch, chunk, C)))
+    return out
+
+
 def _seg_min_scan(slot, vals, K: int, big, chunk: int = 8192):
     """Segment-min counterpart of _seg_sum_scan. Rows with slot >= K (or
     pre-masked to `big`) never win."""
@@ -268,7 +297,16 @@ def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
     stats = jnp.stack([jnp.ones_like(fx), fx, fy, fx * fx, fy * fy,
                        fx * fy, fp], axis=-1)
     stats = jnp.where(hit[:, None], stats, 0.0)
-    if reduce == "scan":
+    if reduce == "pallas" and jax.default_backend() != "tpu":
+        # the band-sparse kernels are TPU Mosaic programs; tests and CPU
+        # runs take the equivalent scan lowering
+        reduce = "scan"
+    if reduce == "pallas":
+        from .pallas import seg_reduce
+        acc = seg_reduce.seg_sum_bands(slot, stats, max_k)
+    elif reduce == "dot":
+        acc = _seg_sum_dot(slot, stats, max_k)
+    elif reduce == "scan":
         acc = _seg_sum_scan(slot, stats, max_k)
     else:
         acc = jnp.zeros((max_k + 1, stats.shape[-1]), jnp.float32)
@@ -302,7 +340,10 @@ def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
     big = jnp.float32(3.4e38)
     cols = jnp.stack([pu, pv, -pu, -pv], -1)
     cols = jnp.where(hit[:, None], cols, big)
-    if reduce == "scan":
+    if reduce == "pallas":
+        from .pallas import seg_reduce
+        ext = seg_reduce.seg_min_bands(slot, cols, max_k, big)
+    elif reduce in ("scan", "dot"):
         ext = _seg_min_scan(slot, cols, max_k, big)
     else:
         ext = jnp.full((max_k + 1, 4), big, jnp.float32)

@@ -56,3 +56,88 @@ def test_ctc_head_batched_shape():
     assert idx.shape == (N, T) and prob.shape == (N, T)
     ref_idx, ref_prob = _reference(feats.reshape(-1, D), w, b)
     np.testing.assert_array_equal(np.asarray(idx).reshape(-1), ref_idx)
+
+
+# ------------------------------------------------- band-sparse seg reduce
+def _seg_refs(slot, vals, K, big=3.4e38):
+    n, C = vals.shape
+    sums = np.zeros((K, C), np.float32)
+    mins = np.full((K, C), big, np.float32)
+    for i in range(n):
+        s = slot[i]
+        if s < K:
+            sums[s] += vals[i]
+            mins[s] = np.minimum(mins[s], vals[i])
+    return sums, mins
+
+
+def test_seg_bands_match_reference():
+    from onnxocr_tpu.ops.pallas import seg_reduce
+    rng = np.random.default_rng(2)
+    K, N = 256, 3 * seg_reduce.BAND + 1000  # exercises padding + bands
+    # raster-local slots: mostly ascending with jitter, plus no-op cells
+    base = np.linspace(0, K - 1, N).astype(np.int32)
+    slot = np.clip(base + rng.integers(-3, 4, N), 0, K).astype(np.int32)
+    slot[rng.random(N) < 0.5] = K  # background cells
+    vals = rng.normal(size=(N, 4)).astype(np.float32) * 100
+    vals_min = np.where((slot < K)[:, None], vals, 3.4e38).astype(np.float32)
+    vals_sum = np.where((slot < K)[:, None], vals, 0.0).astype(np.float32)
+
+    sums = np.asarray(seg_reduce.seg_sum_bands(
+        jnp.asarray(slot), jnp.asarray(vals_sum), K, interpret=True))
+    mins = np.asarray(seg_reduce.seg_min_bands(
+        jnp.asarray(slot), jnp.asarray(vals_min), K, interpret=True))
+    ref_sums, ref_mins = _seg_refs(slot, vals_sum, K)
+    np.testing.assert_allclose(sums, ref_sums, rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(mins, ref_mins, rtol=1e-6, atol=1e-5)
+
+
+def test_seg_bands_empty_and_full_slots():
+    from onnxocr_tpu.ops.pallas import seg_reduce
+    K, N = 128, 4000
+    slot = np.full((N,), K, np.int32)   # nothing hits
+    vals = np.ones((N, 2), np.float32)
+    sums = np.asarray(seg_reduce.seg_sum_bands(
+        jnp.asarray(slot), jnp.zeros((N, 2), jnp.float32), K,
+        interpret=True))
+    assert (sums == 0).all()
+    mins = np.asarray(seg_reduce.seg_min_bands(
+        jnp.asarray(slot), jnp.full((N, 2), 3.4e38, np.float32), K,
+        interpret=True))
+    assert (mins >= 3.0e38).all()
+
+
+def test_device_boxes_pallas_mode_cpu_fallback():
+    """reduce='pallas' on a non-TPU backend must produce the scan result
+    (the kernel is TPU-only; CPU falls back inside device_boxes)."""
+    from onnxocr_tpu.ops import db_device
+    prob = np.zeros((64, 96), np.float32)
+    prob[10:20, 8:60] = 0.9
+    prob[30:42, 20:80] = 0.8
+    a = db_device.device_boxes(jnp.asarray(prob), 64, 96, max_k=128,
+                               reduce="pallas")
+    b = db_device.device_boxes(jnp.asarray(prob), 64, 96, max_k=128,
+                               reduce="scan")
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_device_boxes_dot_mode_matches_scan():
+    """reduce='dot' (MXU one-hot matmul at HIGHEST precision) must match
+    the scan lowering on every output (CPU: HIGHEST == exact f32)."""
+    from onnxocr_tpu.ops import db_device
+    rng = np.random.default_rng(3)
+    prob = (rng.random((96, 128)) * 0.25).astype(np.float32)
+    prob[12:22, 10:70] = 0.85
+    prob[40:52, 30:110] = 0.75
+    prob[70:78, 5:40] = 0.9
+    a = db_device.device_boxes(jnp.asarray(prob), 96, 128, max_k=128,
+                               reduce="dot")
+    b = db_device.device_boxes(jnp.asarray(prob), 96, 128, max_k=128,
+                               reduce="scan")
+    np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+    v = np.asarray(b[2])
+    np.testing.assert_allclose(np.asarray(a[0])[v], np.asarray(b[0])[v],
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(a[1])[v], np.asarray(b[1])[v],
+                               atol=1e-5)
