@@ -172,6 +172,13 @@ DEFAULTS = {
     "tpu_backend": "auto",
     # Compute dtype for the native models: 'float32' or 'bfloat16'.
     "tpu_dtype": "float32",
+    # Det-forward-only dtype override ('' = follow tpu_dtype). bf16 here
+    # runs just the DBNet convs on the MXU's fast path while extraction,
+    # scoring, and the rec/cls stages stay f32 — the round-3 bf16 A/B
+    # penalized the whole pipeline and lost mostly in rec (VERDICT r4
+    # #1b); this isolates the det win. Accuracy-gated on the held-out set
+    # before any default change.
+    "tpu_det_dtype": "",
     # Interpolation for device crops: 'bilinear' | 'bicubic'. TPU gathers
     # are index-rate-bound, so bicubic's 16 taps cost ~4x bilinear; the
     # native checkpoints train on un-warped renders and measure slightly

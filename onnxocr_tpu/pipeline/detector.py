@@ -28,8 +28,14 @@ class TextDetector:
         self.image_shape = getattr(args, "det_image_shape", None)
         self.keep_ratio = getattr(args, "det_keep_ratio", False)
         self.bucket = int(getattr(args, "tpu_det_bucket", 320))
-        dtype = jnp.bfloat16 if getattr(args, "tpu_dtype", "float32") == \
-            "bfloat16" else jnp.float32
+        # tpu_det_dtype overrides tpu_dtype for the det forward alone:
+        # the round-3 whole-pipeline bf16 A/B lost accuracy mostly in the
+        # rec stage; det-only bf16 (extraction/scoring stay f32 — the
+        # prob map is cast back) is the cheap MXU win candidate
+        # (VERDICT r4 #1b).
+        det_dt = getattr(args, "tpu_det_dtype", "") or \
+            getattr(args, "tpu_dtype", "float32")
+        dtype = jnp.bfloat16 if det_dt == "bfloat16" else jnp.float32
         arch = backends.pick_arch("det", args.det_model_dir)
         backend, path, params, arch, calib = backends.resolve_backend(
             "det", args.det_model_dir,
