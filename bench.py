@@ -407,18 +407,23 @@ def main():
         from onnxocr_tpu.ops import det_pre as _dp
         det = model.text_detector
         cap = _dp.round_up(int(det.limit_side_len), det.bucket)
+        from onnxocr_tpu.ops import det_pre as _dp2
         freq = {}
         for im in images:
             sb = _rd.src_bucket_shape(im.shape[0], im.shape[1]) + (3,)
-            freq[sb] = freq.get(sb, 0) + 1
+            rh, rw = _dp2.det_resize_target(
+                im.shape[0], im.shape[1], det.limit_side_len,
+                det.limit_type)
+            ex = oc._ex_window(rh, rw, cap, cap)
+            freq[(sb, ex)] = freq.get((sb, ex), 0) + 1
         reserve = max(50.0, BUDGET_S * 0.35)
-        for sb, _ in sorted(freq.items(), key=lambda kv: -kv[1])[:3]:
+        for (sb, ex), _ in sorted(freq.items(), key=lambda kv: -kv[1])[:3]:
             for tier in oc._wave.tiers:
                 if remaining() < reserve:
                     note("wave warm: budget stop")
                     break
-                note("warmup wave tier %d @ %s" % (tier, sb))
-                oc._wave.warm_sync(True, sb, cap, cap, tier)
+                note("warmup wave tier %d @ %s ex=%s" % (tier, sb, ex))
+                oc._wave.warm_sync(True, sb, cap, cap, tier, ex[0], ex[1])
 
     # ---- Phase 3: one pipelined replay (concurrent-path shapes).
     if remaining() > 60:

@@ -236,6 +236,13 @@ DEFAULTS = {
     # falls back to scoring all tpu_onecall_det_candidates. 0 = score
     # everything unconditionally.
     "tpu_det_score_k": 128,
+    # Extraction-window bucket (onecall): slice the prob map to
+    # round_up(valid, bucket) — a STATIC top-left window — before DB
+    # extraction, so short/thin pages on the fixed 960² canvas stop
+    # paying full-canvas extraction (a 160×960-valid page pays ~6× its
+    # real extraction cost otherwise). Adds a bounded (ex_h, ex_w)
+    # compile axis: ≤(960/bucket)² combos per src bucket. 0 = off.
+    "tpu_det_extract_window": 0,
     # Per-component reduction strategy in device DB extraction:
     # 'scatter' = scatter-add / scatter-min (XLA lowers TPU scatters
     # serially); 'scan' = chunked masked-select + dense VPU reduce

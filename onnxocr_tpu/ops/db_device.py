@@ -270,47 +270,63 @@ def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
     ids = ids.at[tgt].min(jnp.where(reps, seed_flat, maxint))[:max_k]
     present = ids < maxint
 
-    # map every pixel's label to its slot through a seed-indexed slot map:
-    # every rep scatters its raster rank at its own seed index, and each
-    # pixel gathers slot_map[label] (a component's label IS its rep's
-    # seed). Exactly equivalent to ranking by #(kept ids < label) but
-    # O(N) scatter+gather instead of the O(N·max_k) broadcast compare it
-    # replaces (the compare was ~11 of the 78 extraction ms at 960²,
-    # tools/profile_onecall.py db_rank_ids).
-    flat_lab = lab.reshape(-1)
-    n_cells = flat_lab.shape[0]
-    # non-reps write their (unread) rank to a dump slot; index n_cells+1
-    # is never gathered because labels are seeds (1..n_cells) or 0
-    slot_map = jnp.full((n_cells + 2,), jnp.int32(max_k))
-    slot_map = slot_map.at[
-        jnp.where(reps, seed_flat, n_cells + 1)
-    ].set(jnp.minimum(rank, max_k).astype(jnp.int32))
-    hit = flat_lab > 0
-    slot = jnp.where(hit, slot_map[flat_lab], max_k)
-    hit = hit & (slot < max_k)
-
-    # FULL map coordinates of grid-cell centers: geometry below is
-    # scale-free (cell (i, j) covers full px [sx·i, sx·i+sx-1] × ...)
-    fx = xs.reshape(-1).astype(jnp.float32) * sx + (sx - 1) * 0.5
-    fy = ys.reshape(-1).astype(jnp.float32) * sy + (sy - 1) * 0.5
-    fp = prob.reshape(-1).astype(jnp.float32)
-    stats = jnp.stack([jnp.ones_like(fx), fx, fy, fx * fx, fy * fy,
-                       fx * fy, fp], axis=-1)
-    stats = jnp.where(hit[:, None], stats, 0.0)
-    if reduce == "pallas" and jax.default_backend() != "tpu":
+    if reduce in ("pallas", "pallas2") and \
+            jax.default_backend() != "tpu":
         # the band-sparse kernels are TPU Mosaic programs; tests and CPU
         # runs take the equivalent scan lowering
         reduce = "scan"
-    if reduce == "pallas":
-        from .pallas import seg_reduce
-        acc = seg_reduce.seg_sum_bands(slot, stats, max_k)
-    elif reduce == "dot":
-        acc = _seg_sum_dot(slot, stats, max_k)
-    elif reduce == "scan":
-        acc = _seg_sum_scan(slot, stats, max_k)
+
+    if reduce == "pallas2":
+        # label-keyed kernels (ops/pallas/seg_reduce2): the one-hot keys
+        # on lab == ids[k] directly, so the slot map (an N-sized
+        # scatter+gather), the (N, 7) stats materialization, and the
+        # per-pixel axis gathers below are all skipped — coordinates and
+        # projections are built in-kernel from the raster index.
+        from .pallas import seg_reduce2
+        slot = None
+        hit = None
+        acc = seg_reduce2.label_moment_sums(lab, prob, ids, W=W,
+                                            sy=sy, sx=sx)
     else:
-        acc = jnp.zeros((max_k + 1, stats.shape[-1]), jnp.float32)
-        acc = acc.at[slot].add(stats)[:max_k]
+        # map every pixel's label to its slot through a seed-indexed slot
+        # map: every rep scatters its raster rank at its own seed index,
+        # and each pixel gathers slot_map[label] (a component's label IS
+        # its rep's seed). Exactly equivalent to ranking by
+        # #(kept ids < label) but O(N) scatter+gather instead of the
+        # O(N·max_k) broadcast compare it replaces (the compare was ~11
+        # of the 78 extraction ms at 960², tools/profile_onecall.py
+        # db_rank_ids).
+        flat_lab = lab.reshape(-1)
+        n_cells = flat_lab.shape[0]
+        # non-reps write their (unread) rank to a dump slot; index
+        # n_cells+1 is never gathered because labels are seeds
+        # (1..n_cells) or 0
+        slot_map = jnp.full((n_cells + 2,), jnp.int32(max_k))
+        slot_map = slot_map.at[
+            jnp.where(reps, seed_flat, n_cells + 1)
+        ].set(jnp.minimum(rank, max_k).astype(jnp.int32))
+        hit = flat_lab > 0
+        slot = jnp.where(hit, slot_map[flat_lab], max_k)
+        hit = hit & (slot < max_k)
+
+        # FULL map coordinates of grid-cell centers: geometry below is
+        # scale-free (cell (i, j) covers full px [sx·i, sx·i+sx-1] × ...)
+        fx = xs.reshape(-1).astype(jnp.float32) * sx + (sx - 1) * 0.5
+        fy = ys.reshape(-1).astype(jnp.float32) * sy + (sy - 1) * 0.5
+        fp = prob.reshape(-1).astype(jnp.float32)
+        stats = jnp.stack([jnp.ones_like(fx), fx, fy, fx * fx, fy * fy,
+                           fx * fy, fp], axis=-1)
+        stats = jnp.where(hit[:, None], stats, 0.0)
+        if reduce == "pallas":
+            from .pallas import seg_reduce
+            acc = seg_reduce.seg_sum_bands(slot, stats, max_k)
+        elif reduce == "dot":
+            acc = _seg_sum_dot(slot, stats, max_k)
+        elif reduce == "scan":
+            acc = _seg_sum_scan(slot, stats, max_k)
+        else:
+            acc = jnp.zeros((max_k + 1, stats.shape[-1]), jnp.float32)
+            acc = acc.at[slot].add(stats)[:max_k]
     n = jnp.maximum(acc[:, 0], 1.0)
     mx, my = acc[:, 1] / n, acc[:, 2] / n
     cxx = acc[:, 3] / n - mx * mx
@@ -333,21 +349,27 @@ def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
     # second pass: min/max projections of each pixel onto its slot's axes.
     # max folds into the same scatter as min via negation — ONE scatter
     # pass over the map instead of two.
-    pu = fx * ux[jnp.clip(slot, 0, max_k - 1)] + \
-        fy * uy[jnp.clip(slot, 0, max_k - 1)]
-    pv = fx * vx[jnp.clip(slot, 0, max_k - 1)] + \
-        fy * vy[jnp.clip(slot, 0, max_k - 1)]
     big = jnp.float32(3.4e38)
-    cols = jnp.stack([pu, pv, -pu, -pv], -1)
-    cols = jnp.where(hit[:, None], cols, big)
-    if reduce == "pallas":
-        from .pallas import seg_reduce
-        ext = seg_reduce.seg_min_bands(slot, cols, max_k, big)
-    elif reduce in ("scan", "dot"):
-        ext = _seg_min_scan(slot, cols, max_k, big)
+    if reduce == "pallas2":
+        from .pallas import seg_reduce2
+        axes = jnp.stack([ux, uy], axis=-1)
+        ext = seg_reduce2.label_proj_extents(lab, axes, ids, W=W,
+                                             sy=sy, sx=sx)
     else:
-        ext = jnp.full((max_k + 1, 4), big, jnp.float32)
-        ext = ext.at[slot].min(cols)[:max_k]
+        pu = fx * ux[jnp.clip(slot, 0, max_k - 1)] + \
+            fy * uy[jnp.clip(slot, 0, max_k - 1)]
+        pv = fx * vx[jnp.clip(slot, 0, max_k - 1)] + \
+            fy * vy[jnp.clip(slot, 0, max_k - 1)]
+        cols = jnp.stack([pu, pv, -pu, -pv], -1)
+        cols = jnp.where(hit[:, None], cols, big)
+        if reduce == "pallas":
+            from .pallas import seg_reduce
+            ext = seg_reduce.seg_min_bands(slot, cols, max_k, 3.4e38)
+        elif reduce in ("scan", "dot"):
+            ext = _seg_min_scan(slot, cols, max_k, big)
+        else:
+            ext = jnp.full((max_k + 1, 4), big, jnp.float32)
+            ext = ext.at[slot].min(cols)[:max_k]
     mins = ext[:, :2]
     maxs = -ext[:, 2:]
 

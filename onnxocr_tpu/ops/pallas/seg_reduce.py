@@ -124,11 +124,15 @@ def seg_sum_bands(slot, vals, K: int, interpret: bool = False):
     return out[:, 1:C + 1]                                   # (K, C)
 
 
-def seg_min_bands(slot, vals, K: int, big=BIG, interpret: bool = False):
+def seg_min_bands(slot, vals, K: int, big: float = BIG,
+                  interpret: bool = False):
     """Band-sparse segment-min: (N,) slots × (N, C) vals → (K, C) f32.
     Cells whose value column was pre-masked to `big` never win (matches
-    _seg_min_scan semantics); empty slots return BIG."""
+    _seg_min_scan semantics); empty slots return `big`. `big` must be a
+    STATIC Python float — under jit every jnp constant is a tracer
+    (JAX 0.9), so the sentinel swap resolves at trace time."""
     C = vals.shape[1]
+    big = float(big)
     data, lo, hi = _prep(slot, vals, K)
     out = _run(data, lo, hi, K, "min", C, interpret)
     res = out[:, 1:C + 1]

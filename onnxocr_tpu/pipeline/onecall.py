@@ -73,6 +73,7 @@ class OneCallPipeline:
             getattr(args, "tpu_det_score_scale", 1))
         self.db_reduce = str(getattr(args, "tpu_db_reduce", "scatter"))
         self.score_k = int(getattr(args, "tpu_det_score_k", 0))
+        self.ex_bucket = int(getattr(args, "tpu_det_extract_window", 0))
         self._jit = {}
         self._jit_batched = {}
         self._jit_lock = threading.Lock()
@@ -91,7 +92,17 @@ class OneCallPipeline:
     # ------------------------------------------------------------- program
     def _build(self, use_cls: bool):
         return jax.jit(self._make_step(use_cls),
-                       static_argnames=("out_h", "out_w"))
+                       static_argnames=("out_h", "out_w", "ex_h", "ex_w"))
+
+    def _ex_window(self, rh: int, rw: int, hb: int, wb: int
+                   ) -> Tuple[int, int]:
+        """Static extraction-window bucket for a page's valid size. 0s =
+        full canvas (window off)."""
+        b = self.ex_bucket
+        if not b:
+            return 0, 0
+        return (min(hb, det_pre.round_up(max(rh, 1), b)),
+                min(wb, det_pre.round_up(max(rw, 1), b)))
 
     def sharded_batch_fn(self, use_cls: bool, mesh, out_h: int = 0,
                          out_w: int = 0):
@@ -149,7 +160,7 @@ class OneCallPipeline:
         k_det = self.k_det
 
         def step(det_p, cls_p, rec_p, image_u8, src_h, src_w, r_h, r_w,
-                 out_h: int, out_w: int):
+                 out_h: int, out_w: int, ex_h: int = 0, ex_w: int = 0):
             # --- det forward from the HBM-resident source
             x = resize_dev.resize_normalize_det(
                 image_u8, src_h, src_w, r_h, r_w, out_h, out_w)
@@ -166,6 +177,16 @@ class OneCallPipeline:
                 prob = det_fwd.executor._interpret(
                     det_p,
                     {det_fwd.executor.input_names[0]: xt})[0][0, 0]
+
+            # --- extraction window: every extraction stage is
+            # pixel-bound in the GRID shape, so a 160×960-valid page on
+            # the fixed 960² canvas pays 6× its real extraction cost.
+            # ex_h/ex_w come from a STATIC bucket ladder of the valid
+            # size (host side, CLAUDE.md invariant: no per-page shapes) —
+            # a static top-left slice of the prob map; map coordinates
+            # are unchanged.
+            if ex_h and ex_w and (ex_h < out_h or ex_w < out_w):
+                prob = prob[:ex_h, :ex_w]
 
             # --- DB box extraction on device (map coords)
             quads_m, scores, valid = db_device.device_boxes(
@@ -274,12 +295,13 @@ class OneCallPipeline:
         else:
             hb = det_pre.round_up(rh, self.detector.bucket)
             wb = det_pre.round_up(rw, self.detector.bucket)
+        eh, ew = self._ex_window(rh, rw, hb, wb)
         if self._wave is not None:
             packed = self._wave.run(use_cls, image_dev, src_h, src_w,
-                                    rh, rw, hb, wb)
+                                    rh, rw, hb, wb, eh, ew)
         else:
             packed = self._run_single(use_cls, image_dev, src_h, src_w,
-                                      rh, rw, hb, wb)
+                                      rh, rw, hb, wb, eh, ew)
         return self._decode_packed(packed, image_dev, use_cls)
 
     def _params(self, use_cls: bool):
@@ -290,7 +312,7 @@ class OneCallPipeline:
         return det_p, cls_p, rec_p
 
     def _run_single(self, use_cls, image_dev, src_h, src_w, rh, rw,
-                    hb, wb) -> np.ndarray:
+                    hb, wb, eh=0, ew=0) -> np.ndarray:
         with self._jit_lock:
             fn = self._jit.get(use_cls)
             if fn is None:
@@ -302,16 +324,18 @@ class OneCallPipeline:
                 jnp.int32(rh), jnp.int32(rw))
         from ..utils.profiling import CAPTURE
         CAPTURE.record("onecall",
-                       lambda *a, _f=fn, _h=hb, _w=wb:
-                       _f(*a, out_h=_h, out_w=_w), args)
-        return np.asarray(fn(*args, out_h=hb, out_w=wb))
+                       lambda *a, _f=fn, _h=hb, _w=wb, _eh=eh, _ew=ew:
+                       _f(*a, out_h=_h, out_w=_w, ex_h=_eh, ex_w=_ew),
+                       args)
+        return np.asarray(fn(*args, out_h=hb, out_w=wb, ex_h=eh, ex_w=ew))
 
-    def _get_batched(self, use_cls: bool, B: int, out_h: int, out_w: int):
-        """One jitted vmap-over-pages program per (use_cls, B, canvas) —
-        the single-device analog of sharded_batch_fn, used by the wave
-        coalescer. Output row-blocks decode exactly like the single-page
-        packed buffer."""
-        key = (use_cls, B, out_h, out_w)
+    def _get_batched(self, use_cls: bool, B: int, out_h: int, out_w: int,
+                     ex_h: int = 0, ex_w: int = 0):
+        """One jitted vmap-over-pages program per (use_cls, B, canvas,
+        window) — the single-device analog of sharded_batch_fn, used by
+        the wave coalescer. Output row-blocks decode exactly like the
+        single-page packed buffer."""
+        key = (use_cls, B, out_h, out_w, ex_h, ex_w)
         with self._jit_lock:
             fn = self._jit_batched.get(key)
             if fn is None:
@@ -322,7 +346,8 @@ class OneCallPipeline:
                     return jax.vmap(
                         lambda im, sh, sw, rhh, rww: step(
                             det_p, cls_p, rec_p, im, sh, sw, rhh, rww,
-                            out_h=out_h, out_w=out_w)
+                            out_h=out_h, out_w=out_w, ex_h=ex_h,
+                            ex_w=ex_w)
                     )(images_u8, src_h, src_w, r_h, r_w)
 
                 fn = jax.jit(batched)
@@ -428,9 +453,10 @@ class _WaveCoalescer:
         self._thread.start()
 
     # ------------------------------------------------------------- client
-    def run(self, use_cls, image_dev, src_h, src_w, rh, rw, hb, wb
-            ) -> np.ndarray:
-        key = (bool(use_cls), tuple(image_dev.shape), int(hb), int(wb))
+    def run(self, use_cls, image_dev, src_h, src_w, rh, rw, hb, wb,
+            eh=0, ew=0) -> np.ndarray:
+        key = (bool(use_cls), tuple(image_dev.shape), int(hb), int(wb),
+               int(eh), int(ew))
         req = _WaveReq(key, image_dev, int(src_h), int(src_w),
                        int(rh), int(rw))
         with self._cv:
@@ -479,7 +505,7 @@ class _WaveCoalescer:
                     r.event.set()
 
     def _dispatch(self, key, batch: List[_WaveReq]):
-        use_cls, _, hb, wb = key
+        use_cls, _, hb, wb, eh, ew = key
         pipe = self.pipe
         self.stats["pages"] += len(batch)
         self.stats["waves"][len(batch)] = \
@@ -487,10 +513,11 @@ class _WaveCoalescer:
         if len(batch) == 1:
             r = batch[0]
             r.packed = pipe._run_single(use_cls, r.image_dev, r.src_h,
-                                        r.src_w, r.rh, r.rw, hb, wb)
+                                        r.src_w, r.rh, r.rw, hb, wb,
+                                        eh, ew)
             r.event.set()
             return
-        fn = pipe._get_batched(use_cls, len(batch), hb, wb)
+        fn = pipe._get_batched(use_cls, len(batch), hb, wb, eh, ew)
         det_p, cls_p, rec_p = pipe._params(use_cls)
         images = jnp.stack([r.image_dev for r in batch])
         sh = jnp.array([r.src_h for r in batch], jnp.int32)
@@ -506,8 +533,8 @@ class _WaveCoalescer:
         """Compile the (key, B) batch program off the request path, on
         device-resident zeros (no host upload)."""
         try:
-            use_cls, src_shape, hb, wb = key
-            fn = self.pipe._get_batched(use_cls, B, hb, wb)
+            use_cls, src_shape, hb, wb, eh, ew = key
+            fn = self.pipe._get_batched(use_cls, B, hb, wb, eh, ew)
             det_p, cls_p, rec_p = self.pipe._params(use_cls)
             images = jnp.zeros((B,) + tuple(src_shape), jnp.uint8)
             ones = jnp.full((B,), 32, jnp.int32)
@@ -522,7 +549,8 @@ class _WaveCoalescer:
                 self._warming.discard((key, B))
 
     def warm_sync(self, use_cls: bool, src_shape, hb: int, wb: int,
-                  B: int):
+                  B: int, eh: int = 0, ew: int = 0):
         """Blocking tier warm-up (engine warmup / tests)."""
-        key = (bool(use_cls), tuple(src_shape), int(hb), int(wb))
+        key = (bool(use_cls), tuple(src_shape), int(hb), int(wb),
+               int(eh), int(ew))
         self._warm(key, B)

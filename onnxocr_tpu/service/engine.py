@@ -258,8 +258,13 @@ class EngineManager:
             except ValueError:
                 continue
             sb = resize_dev.src_bucket_shape(h, w) + (3,)
+            # extraction-window key must match live dispatch: pages of
+            # this spec size land at the window of their own (rh, rw)
+            rh, rw = det_pre.det_resize_target(h, w, det.limit_side_len,
+                                               det.limit_type)
+            eh, ew = oc._ex_window(rh, rw, cap, cap)
             for tier in oc._wave.tiers:
-                oc._wave.warm_sync(use_cls, sb, cap, cap, tier)
+                oc._wave.warm_sync(use_cls, sb, cap, cap, tier, eh, ew)
 
     @property
     def ready(self) -> bool:

@@ -141,3 +141,66 @@ def test_device_boxes_dot_mode_matches_scan():
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(a[1])[v], np.asarray(b[1])[v],
                                atol=1e-5)
+
+
+def test_label_keyed_kernels_match_reference():
+    from onnxocr_tpu.ops.pallas import seg_reduce2
+    rng = np.random.default_rng(7)
+    H, W, K = 48, 512, 256
+    # raster-local labels: blobs with seeds = first raster index + 1
+    lab = np.zeros((H, W), np.int32)
+    blobs = []
+    for i in range(40):
+        y, x = rng.integers(0, H - 6), rng.integers(0, W - 24)
+        h, w = rng.integers(2, 6), rng.integers(4, 24)
+        lab[y:y + h, x:x + w] = 0  # carve below
+        blobs.append((y, x, h, w))
+    for y, x, h, w in blobs:
+        seed = y * W + x + 1
+        lab[y:y + h, x:x + w] = seed
+    prob = rng.random((H, W)).astype(np.float32)
+    seeds = np.unique(lab[lab > 0])
+    maxint = np.int32(2147483647)
+    ids = np.full((K,), maxint, np.int32)
+    ids[:len(seeds)] = np.sort(seeds)
+
+    sy, sx = 2, 1  # exercise the coordinate scaling
+    sums = np.asarray(seg_reduce2.label_moment_sums(
+        jnp.asarray(lab), jnp.asarray(prob), jnp.asarray(ids), W=W,
+        sy=sy, sx=sx, interpret=True))
+    ys, xs = np.mgrid[0:H, 0:W]
+    fx = xs * sx + (sx - 1) * 0.5
+    fy = ys * sy + (sy - 1) * 0.5
+    for k, s in enumerate(seeds):
+        m = lab == s
+        ref = [m.sum(), fx[m].sum(), fy[m].sum(), (fx[m] ** 2).sum(),
+               (fy[m] ** 2).sum(), (fx[m] * fy[m]).sum(), prob[m].sum()]
+        np.testing.assert_allclose(sums[k], ref, rtol=1e-5, atol=1e-2)
+    assert (sums[len(seeds):] == 0).all()
+
+    axes = rng.normal(size=(K, 2)).astype(np.float32)
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    ext = np.asarray(seg_reduce2.label_proj_extents(
+        jnp.asarray(lab), jnp.asarray(axes), jnp.asarray(ids), W=W,
+        sy=sy, sx=sx, interpret=True))
+    for k, s in enumerate(seeds):
+        m = lab == s
+        ux, uy = axes[k]
+        pu = fx[m] * ux + fy[m] * uy
+        pv = -fx[m] * uy + fy[m] * ux
+        ref = [pu.min(), pv.min(), (-pu).min(), (-pv).min()]
+        np.testing.assert_allclose(ext[k], ref, rtol=1e-5, atol=1e-4)
+    assert (ext[len(seeds):] >= 3e38).all()
+
+
+def test_device_boxes_pallas2_cpu_fallback():
+    from onnxocr_tpu.ops import db_device
+    prob = np.zeros((64, 96), np.float32)
+    prob[10:20, 8:60] = 0.9
+    prob[30:42, 20:80] = 0.8
+    a = db_device.device_boxes(jnp.asarray(prob), 64, 96, max_k=128,
+                               reduce="pallas2")
+    b = db_device.device_boxes(jnp.asarray(prob), 64, 96, max_k=128,
+                               reduce="scan")
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))

@@ -184,7 +184,8 @@ def _graft_matching(dst, src):
 def train_det(steps: int, batch: int, size: int, lr: float, out: str,
               arch: str = "mbv3", seed: int = 0, init_from: str = "",
               hard_frac: float = 0.0, table_frac: float = 0.0,
-              structured_frac: float = 0.0, replay: int = 1):
+              structured_frac: float = 0.0, replay: int = 1,
+              distill_from: str = "", distill_w: float = 0.7):
     from onnxocr_tpu import config as cfg
     from onnxocr_tpu.train import synth, det_trainer
     from onnxocr_tpu.utils import params_io
@@ -207,7 +208,15 @@ def train_det(steps: int, batch: int, size: int, lr: float, out: str,
     schedule = optax.warmup_cosine_decay_schedule(0.0, lr, warmup, max(steps, warmup + 1), lr * 0.05)
     optimizer = optax.adamw(schedule, weight_decay=1e-5)
     opt_state = optimizer.init(params)
-    step_fn = det_trainer.make_train_step(optimizer, backbone_arch=arch)
+    teacher = None
+    if distill_from:
+        teacher = params_io.load_tree(distill_from)
+        print(f"distilling from teacher {distill_from} (w={distill_w})")
+        step_fn = det_trainer.make_distill_step(
+            optimizer, teacher_arch="mbv3", w=distill_w,
+            backbone_arch=arch)
+    else:
+        step_fn = det_trainer.make_train_step(optimizer, backbone_arch=arch)
 
     import queue
     import threading
@@ -235,8 +244,12 @@ def train_det(steps: int, batch: int, size: int, lr: float, out: str,
         b = q.get()
         imgs, maps, masks = (np.concatenate([a[i], b[i]])[:batch]
                              for i in range(3))
-        params, opt_state, loss = step_fn(params, opt_state, imgs, maps,
-                                          masks)
+        if teacher is not None:
+            params, opt_state, loss = step_fn(params, teacher, opt_state,
+                                              imgs, maps, masks)
+        else:
+            params, opt_state, loss = step_fn(params, opt_state, imgs,
+                                              maps, masks)
         if step % 25 == 0 or step == steps - 1:
             print(f"det step {step} loss {float(loss):.4f} "
                   f"({time.time()-t0:.1f}s)", flush=True)
@@ -303,6 +316,11 @@ if __name__ == "__main__":
     ap.add_argument("--replay", type=int, default=1,
                     help="feed each rendered batch N times (render-bound "
                          "host: ~N x steps/sec at slight diversity cost)")
+    ap.add_argument("--distill-from", type=str, default="",
+                    help="det only: mbv3 teacher checkpoint whose prob "
+                         "maps the student trains against (soft-BCE blend)")
+    ap.add_argument("--distill-w", type=float, default=0.7,
+                    help="weight on the distillation term (det)")
     args = ap.parse_args()
     if args.which == "rec":
         out = args.out or asset_dir("ppocrv5", "rec", "native_params.npz")
@@ -325,4 +343,5 @@ if __name__ == "__main__":
                   init_from=args.init_from, hard_frac=args.hard_frac,
                   table_frac=args.table_frac,
                   structured_frac=args.structured_frac,
-                  replay=args.replay)
+                  replay=args.replay, distill_from=args.distill_from,
+                  distill_w=args.distill_w)
