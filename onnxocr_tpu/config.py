@@ -242,7 +242,9 @@ DEFAULTS = {
     # paying full-canvas extraction (a 160×960-valid page pays ~6× its
     # real extraction cost otherwise). Adds a bounded (ex_h, ex_w)
     # compile axis: ≤(960/bucket)² combos per src bucket. 0 = off.
-    "tpu_det_extract_window": 0,
+    # Default 320: round-5 eval gate EXACTLY head-equal at banner-page
+    # device 59.7→33.9 ms (evalgates.jsonl r5_pallas2_window).
+    "tpu_det_extract_window": 320,
     # Per-component reduction strategy in device DB extraction:
     # 'scatter' = scatter-add / scatter-min (XLA lowers TPU scatters
     # serially); 'scan' = chunked masked-select + dense VPU reduce
@@ -250,8 +252,15 @@ DEFAULTS = {
     # Default decided by on-chip A/B (scan wins the full onecall program
     # 93.4 vs 98.2 ms at 960² and is held-out output-equal: r4 window 3,
     # oc_scan 0.864/0.764 vs oc_scatter 0.862/0.763, real subtotal
-    # identical); both are exact up to f32 sum order.
-    "tpu_db_reduce": "scan",
+    # identical); both are exact up to f32 sum order. 'pallas'/'pallas2'
+    # = band-sparse Mosaic kernels (ops/pallas/seg_reduce{,2}) — slots
+    # are raster-local, so one map band only references a narrow slot
+    # range and non-intersecting (tile, band) blocks are skipped.
+    # Default 'pallas2' (label-keyed, round-5): extraction 33→15 ms and
+    # full onecall 59.7→41.8 ms on the profiled page at an EXACTLY
+    # head-equal eval gate (evalgates.jsonl r5_pallas2_window); CPU
+    # backends silently take the equivalent scan lowering.
+    "tpu_db_reduce": "pallas2",
     # det→host wire: 'bitmap' downloads only the bitpacked DB bitmap (8x
     # smaller than the quantized map; ~12 ms vs ~90 ms on the tunneled
     # link) and defers box scoring to the fused cls+rec program against

@@ -53,7 +53,9 @@ def main():
     oc = model._onecall
     det = model.text_detector
     fused = model._fused
-    img = cv2.imread("onnxocr_tpu/test_images/page_00.png")
+    import os as _os
+    img = cv2.imread(_os.environ.get("ONNXOCR_PROFILE_IMAGE",
+                                     "onnxocr_tpu/test_images/page_00.png"))
     if img is None:
         import glob
         path = sorted(glob.glob("onnxocr_tpu/test_images/*.png") +
