@@ -170,9 +170,73 @@ def _sample_bicubic(flat, H, W, sx, sy):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "interp"))
+# Staged-warp fast path: rows of source staged per crop. 128 rows covers
+# every text-line crop (taller spans take the gather path).
+_STAGE_ROWS = 128
+
+
+def _separable_mask(mats, H: int, out_h: int, out_w: int, tol: float):
+    """Crops whose dest→src map is an axis-separable affine (upright
+    rectangles: no cross terms, no perspective) AND whose source-row span
+    fits the staging window."""
+    b = jnp.abs(mats[:, 0, 1])
+    d = jnp.abs(mats[:, 1, 0])
+    g = jnp.abs(mats[:, 2, 0])
+    h = jnp.abs(mats[:, 2, 1])
+    affine = (g < 1e-8) & (h < 1e-8)
+    upright = affine & (b <= tol) & (d <= tol)
+    e, f = mats[:, 1, 1], mats[:, 1, 2]
+    sy_ends = jnp.stack([f, e * (out_h - 1.0) + f], axis=-1)
+    span = jnp.abs(sy_ends[:, 1] - sy_ends[:, 0])
+    return upright & (span <= _STAGE_ROWS - 3)
+
+
+def _staged_separable(image_u8, mats, out_h: int, out_w: int):
+    """Separable bilinear warp via staged rows + two MXU einsums.
+
+    The per-pixel gather warp is issue-rate-bound on TPU (~120 M
+    gathers/s measured — rec_warp 99 ms on a 32-crop doc page,
+    tools/profile_onecall.py round 5) and its cost is linear in REAL
+    crop pixels. For upright crops (b = d = 0: sx depends only on x, sy
+    only on y — every synthetic/scanned doc line) the warp is exactly
+    separable bilinear, so: gather each crop's _STAGE_ROWS source rows
+    (dense 6 KB row reads), then contract with per-crop bilinear hat
+    weights along y and x on the MXU. Weight tensors are dense but
+    bandwidth-cheap (~170 MB ≈ 0.4 ms vs the 99 ms they replace).
+    Returns (N, out_h, out_w, 3) f32 in [0, 255]."""
+    H, W = image_u8.shape[:2]
+    K = mats.shape[0]
+    a, c = mats[:, 0, 0], mats[:, 0, 2]
+    e, f = mats[:, 1, 1], mats[:, 1, 2]
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    sy = jnp.clip(e[:, None] * ys[None, :] + f[:, None], 0.0, H - 1.0)
+    sx = jnp.clip(a[:, None] * xs[None, :] + c[:, None], 0.0, W - 1.0)
+
+    y0 = jnp.clip(jnp.floor(jnp.min(sy, axis=1)) - 1.0, 0.0,
+                  float(max(H - 1, 0)))
+    rows = jnp.clip(y0[:, None].astype(jnp.int32) +
+                    jnp.arange(_STAGE_ROWS, dtype=jnp.int32)[None, :],
+                    0, H - 1)                               # (K, RH)
+    stage = jnp.take(image_u8, rows.reshape(-1), axis=0)
+    stage = stage.reshape(K, _STAGE_ROWS, W, 3).astype(jnp.float32)
+
+    syl = sy - y0[:, None]                                   # (K, out_h)
+    r_idx = jnp.arange(_STAGE_ROWS, dtype=jnp.float32)
+    Wy = jnp.maximum(0.0, 1.0 - jnp.abs(syl[:, :, None] -
+                                        r_idx[None, None, :]))
+    w_idx = jnp.arange(W, dtype=jnp.float32)
+    Wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[:, :, None] -
+                                        w_idx[None, None, :]))
+    inter = jnp.einsum("khr,krwc->khwc", Wy, stage)
+    return jnp.einsum("khwc,kxw->khxc", inter, Wx)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_h", "out_w", "interp", "staged"))
 def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
-               out_h: int, out_w: int, interp: str = "bicubic") -> jax.Array:
+               out_h: int, out_w: int, interp: str = "bicubic",
+               staged: bool = True) -> jax.Array:
     """Produce N normalized crops from one source image.
 
     Args:
@@ -181,6 +245,9 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
       valid_w: (N,) int32 resized widths; columns >= valid_w are zeroed
         (matching the reference's zero-pad in normalized space,
         predict_rec.py:78-79).
+      staged: route upright crops through the separable staged fast path
+        (bilinear only; bit-equal to the gather path up to f32 order).
+        Tilted/perspective crops always take the gather path.
     Returns:
       (N, out_h, out_w, 3) float32, normalized to [-1, 1] (rec/cls scheme:
       x/255 → (x-0.5)/0.5, predict_rec.py:74-77).
@@ -191,6 +258,15 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
     xs = jnp.arange(out_w, dtype=jnp.float32)
     ys = jnp.arange(out_h, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)  # (out_h, out_w)
+
+    use_staged = staged and interp != "bicubic"
+    if use_staged:
+        sep = _separable_mask(mats, H, out_h, out_w, 0.0)
+        fast = _staged_separable(image_u8, mats, out_h, out_w)
+        # degenerate (but finite) matrices keep the gather path's cost for
+        # fast-path crops near zero: constant index, masked result
+        degen = jnp.zeros_like(mats).at[:, 2, 2].set(1.0)
+        mats = jnp.where(sep[:, None, None], degen, mats)
 
     def one(mat, vw):
         u = mat[0, 0] * gx + mat[0, 1] * gy + mat[0, 2]
@@ -206,12 +282,15 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
             vals = _sample_bicubic(flat, H, W, sx, sy)
         else:
             vals = _sample_bilinear(flat, H, W, sx, sy)
-        vals = jnp.clip(vals, 0.0, 255.0)
-        norm = (vals / 255.0 - 0.5) / 0.5
-        mask = (gx < vw)[..., None]
-        return jnp.where(mask, norm, 0.0)
+        return vals
 
-    return jax.vmap(one)(mats, valid_w)
+    vals = jax.vmap(one)(mats, valid_w)
+    if use_staged:
+        vals = jnp.where(sep[:, None, None, None], fast, vals)
+    vals = jnp.clip(vals, 0.0, 255.0)
+    norm = (vals / 255.0 - 0.5) / 0.5
+    mask = (gx[None] < valid_w[:, None, None])[..., None]
+    return jnp.where(mask, norm, 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "interp"))

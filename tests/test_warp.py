@@ -110,3 +110,55 @@ def test_host_warp_matches_device(img):
                                      "bicubic"))
     host = warp.warp_crops_host(img, np.stack(mats), np.array(vws), 48, 320)
     assert np.abs(dev - host).mean() < 0.03
+
+
+def test_staged_separable_matches_gather(img):
+    """Upright crops through the staged fast path must match the gather
+    warp (both are bilinear; identical up to f32 association)."""
+    import jax.numpy as jnp
+    from onnxocr_tpu.ops import warp as w
+
+    # axis-aligned upright boxes of assorted sizes/positions
+    boxes = [
+        [[10, 12], [210, 12], [210, 60], [10, 60]],
+        [[40, 80], [360, 80], [360, 118], [40, 118]],
+        [[5, 5], [60, 5], [60, 22], [5, 22]],
+    ]
+    mats, widths = [], []
+    for b in boxes:
+        m, vw = w.build_crop_matrix(np.array(b, np.float32), 48, 320)
+        mats.append(m)
+        widths.append(vw)
+    mats = jnp.asarray(np.stack(mats))
+    vw = jnp.asarray(np.array(widths, np.int32))
+    fast = w.warp_crops(jnp.asarray(img), mats, vw, 48, 320,
+                        interp="bilinear", staged=True)
+    slow = w.warp_crops(jnp.asarray(img), mats, vw, 48, 320,
+                        interp="bilinear", staged=False)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               atol=2e-3)
+
+
+def test_staged_mixed_tilted_and_upright(img):
+    """A tilted quad rides the gather path while upright neighbors take
+    the staged path — outputs must match the all-gather reference."""
+    import jax.numpy as jnp
+    from onnxocr_tpu.ops import warp as w
+
+    boxes = [
+        [[10, 12], [210, 12], [210, 60], [10, 60]],           # upright
+        [[50, 40], [240, 70], [230, 110], [40, 80]],          # tilted
+    ]
+    mats, widths = [], []
+    for b in boxes:
+        m, vw = w.build_crop_matrix(np.array(b, np.float32), 48, 320)
+        mats.append(m)
+        widths.append(vw)
+    mats = jnp.asarray(np.stack(mats))
+    vw = jnp.asarray(np.array(widths, np.int32))
+    fast = w.warp_crops(jnp.asarray(img), mats, vw, 48, 320,
+                        interp="bilinear", staged=True)
+    slow = w.warp_crops(jnp.asarray(img), mats, vw, 48, 320,
+                        interp="bilinear", staged=False)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                               atol=2e-3)
