@@ -245,6 +245,14 @@ DEFAULTS = {
     # Default 320: round-5 eval gate EXACTLY head-equal at banner-page
     # device 59.7→33.9 ms (evalgates.jsonl r5_pallas2_window).
     "tpu_det_extract_window": 320,
+    # Snap near-axis-aligned PCA axes to exact (±1,0)/(0,±1) in device
+    # DB extraction (tan(angle) <= this). Text components' covariance
+    # carries ~1-2% tilt from ascender/descender asymmetry on perfectly
+    # upright lines; snapping removes that sampling skew from the crops
+    # and lets upright quads take the staged MXU warp fast path
+    # (ops/warp.py). Genuinely rotated text (photos) is unaffected.
+    # 0 = off; accuracy-gated on the held-out set before adoption.
+    "tpu_det_axis_snap": 0.06,
     # Per-component reduction strategy in device DB extraction:
     # 'scatter' = scatter-add / scatter-min (XLA lowers TPU scatters
     # serially); 'scan' = chunked masked-select + dense VPU reduce

@@ -184,11 +184,13 @@ def parse_extract_scale(val) -> Tuple[int, int]:
 @functools.partial(jax.jit,
                    static_argnames=("max_k", "thresh", "box_thresh",
                                     "unclip_ratio", "min_size", "scale",
-                                    "score_scale", "reduce", "score_k"))
+                                    "score_scale", "reduce", "score_k",
+                                    "axis_snap"))
 def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
                  thresh: float = 0.3, box_thresh: float = 0.6,
                  unclip_ratio: float = 1.5, min_size: float = 3.0,
-                 scale=1, score_scale=1, reduce="scatter", score_k: int = 0
+                 scale=1, score_scale=1, reduce="scatter", score_k: int = 0,
+                 axis_snap: float = 0.0
                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """prob: (H, W) float32 map (padded); valid region resize_h × resize_w.
 
@@ -221,15 +223,16 @@ def device_boxes(prob: jax.Array, resize_h, resize_w, max_k: int = 256,
         return _device_boxes_impl(prob_mask, prob_score, rh, rw, max_k,
                                   thresh, box_thresh, unclip_ratio,
                                   min_size, sy, sx, ssy, ssx, reduce,
-                                  score_k)
+                                  score_k, axis_snap)
     return _device_boxes_impl(prob, prob, resize_h, resize_w, max_k,
                               thresh, box_thresh, unclip_ratio, min_size,
-                              1, 1, ssy, ssx, reduce, score_k)
+                              1, 1, ssy, ssx, reduce, score_k, axis_snap)
 
 
 def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
                        thresh, box_thresh, unclip_ratio, min_size, sy, sx,
-                       ssy=1, ssx=1, reduce="scatter", score_k=0
+                       ssy=1, ssx=1, reduce="scatter", score_k=0,
+                       axis_snap=0.0
                        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Core extraction on the (possibly downsampled) working grid.
     prob: map used for thresholding/labeling; prob_score: map used for
@@ -344,6 +347,20 @@ def _device_boxes_impl(prob, prob_score, resize_h, resize_w, max_k,
     ey = jnp.where(small, jnp.where(cxx >= cyy, 0.0, 1.0), l1 - cxx)
     norm = jnp.sqrt(ex * ex + ey * ey)
     ux, uy = ex / norm, ey / norm        # major axis
+    if axis_snap > 0:
+        # Snap near-axis-aligned PCA axes to exact (±1,0)/(0,±1): text
+        # components' covariance carries ~1-2% tilt from ascender/
+        # descender asymmetry even on perfectly upright lines; snapping
+        # (a) removes that sampling skew from the crops and (b) makes
+        # the quads exactly axis-separable so the staged MXU warp fast
+        # path engages (ops/warp._staged_separable). tan(angle) <=
+        # axis_snap; genuinely rotated text (photos) is unaffected.
+        horiz = jnp.abs(uy) <= axis_snap * jnp.abs(ux)
+        vert = (~horiz) & (jnp.abs(ux) <= axis_snap * jnp.abs(uy))
+        sgn_x = jnp.where(ux >= 0, 1.0, -1.0)
+        sgn_y = jnp.where(uy >= 0, 1.0, -1.0)
+        ux = jnp.where(horiz, sgn_x, jnp.where(vert, 0.0, ux))
+        uy = jnp.where(horiz, 0.0, jnp.where(vert, sgn_y, uy))
     vx, vy = -uy, ux                      # minor axis
 
     # second pass: min/max projections of each pixel onto its slot's axes.

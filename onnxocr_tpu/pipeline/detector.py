@@ -202,7 +202,9 @@ class TextDetector:
                         getattr(self.args, "tpu_det_score_scale", 1)),
                     reduce=str(getattr(self.args, "tpu_db_reduce",
                                        "scatter")),
-                    score_k=int(getattr(self.args, "tpu_det_score_k", 0)))
+                    score_k=int(getattr(self.args, "tpu_det_score_k", 0)),
+                    axis_snap=float(getattr(self.args,
+                                            "tpu_det_axis_snap", 0.0)))
                 return jnp.concatenate(
                     [quads.reshape(max_k, 8), scores[:, None],
                      valid[:, None].astype(jnp.float32)], axis=-1)

@@ -74,6 +74,7 @@ class OneCallPipeline:
         self.db_reduce = str(getattr(args, "tpu_db_reduce", "scatter"))
         self.score_k = int(getattr(args, "tpu_det_score_k", 0))
         self.ex_bucket = int(getattr(args, "tpu_det_extract_window", 0))
+        self.axis_snap = float(getattr(args, "tpu_det_axis_snap", 0.0))
         self._jit = {}
         self._jit_batched = {}
         self._jit_lock = threading.Lock()
@@ -158,6 +159,7 @@ class OneCallPipeline:
         rec_w = self.rec_w
         k_rec = self.k_rec
         k_det = self.k_det
+        axis_snap = self.axis_snap
 
         def step(det_p, cls_p, rec_p, image_u8, src_h, src_w, r_h, r_w,
                  out_h: int, out_w: int, ex_h: int = 0, ex_w: int = 0):
@@ -194,7 +196,8 @@ class OneCallPipeline:
                 thresh=pp.thresh, box_thresh=pp.box_thresh,
                 unclip_ratio=pp.unclip_ratio, min_size=float(pp.min_size),
                 scale=self.extract_scale, score_scale=self.score_scale,
-                reduce=self.db_reduce, score_k=self.score_k)
+                reduce=self.db_reduce, score_k=self.score_k,
+                axis_snap=axis_snap)
 
             # --- rescale map → source coords (unpack_boxes contract:
             # round, clip to [0, src])

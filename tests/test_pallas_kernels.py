@@ -204,3 +204,27 @@ def test_device_boxes_pallas2_cpu_fallback():
                                reduce="scan")
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_axis_snap_straightens_small_tilt():
+    """tpu_det_axis_snap: a slightly-tilted component yields an exactly
+    axis-aligned quad; a strongly-tilted one keeps its PCA axis."""
+    from onnxocr_tpu.ops import db_device
+    import cv2
+    H, W = 128, 256
+    # ~1.5 deg tilted bar
+    img = np.zeros((H, W), np.float32)
+    cv2.ellipse(img, ((100, 40), (140, 12), 1.5), 0.9, -1)
+    # ~20 deg tilted bar
+    cv2.ellipse(img, ((120, 90), (120, 12), 20.0), 0.9, -1)
+    q, s, v = db_device.device_boxes(jnp.asarray(img), H, W, max_k=64,
+                                     axis_snap=0.06)
+    quads = np.asarray(q)[np.asarray(v)]
+    assert len(quads) == 2
+    # sort by y: first = small tilt (snapped), second = 20 deg
+    quads = quads[np.argsort(quads[:, 0, 1])]
+    top, bot = quads[0], quads[1]
+    # snapped: top edge exactly horizontal
+    assert abs(top[0, 1] - top[1, 1]) < 1e-3
+    # unsnapped: strongly tilted edge survives
+    assert abs(bot[0, 1] - bot[1, 1]) > 10.0
