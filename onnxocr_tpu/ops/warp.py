@@ -261,7 +261,10 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
 
     use_staged = staged and interp != "bicubic"
     if use_staged:
-        sep = _separable_mask(mats, H, out_h, out_w, 0.0)
+        # 1e-5 absorbs the f32 homography-solve residual on exactly
+        # axis-aligned quads (measured <=1.2e-8); x-shift error bound
+        # 48 * 1e-5 < 0.001 px
+        sep = _separable_mask(mats, H, out_h, out_w, 1e-5)
         fast = _staged_separable(image_u8, mats, out_h, out_w)
         # degenerate (but finite) matrices keep the gather path's cost for
         # fast-path crops near zero: constant index, masked result
