@@ -251,8 +251,10 @@ DEFAULTS = {
     # upright lines; snapping removes that sampling skew from the crops
     # and lets upright quads take the staged MXU warp fast path
     # (ops/warp.py). Genuinely rotated text (photos) is unaffected.
-    # 0 = off; accuracy-gated on the held-out set before adoption.
-    "tpu_det_axis_snap": 0.06,
+    # 0 = off (DEFAULT — the 0.06 gate REGRESSED real pages 0.730→0.680
+    # recall: genuine 1-3° tilts on receipts/photos need the deskewing
+    # warp; evalgates.jsonl r5_axis_snap).
+    "tpu_det_axis_snap": 0.0,
     # Per-component reduction strategy in device DB extraction:
     # 'scatter' = scatter-add / scatter-min (XLA lowers TPU scatters
     # serially); 'scan' = chunked masked-select + dense VPU reduce

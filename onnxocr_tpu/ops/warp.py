@@ -236,7 +236,7 @@ def _staged_separable(image_u8, mats, out_h: int, out_w: int):
                    static_argnames=("out_h", "out_w", "interp", "staged"))
 def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
                out_h: int, out_w: int, interp: str = "bicubic",
-               staged: bool = True) -> jax.Array:
+               staged: bool = False) -> jax.Array:
     """Produce N normalized crops from one source image.
 
     Args:
@@ -247,7 +247,12 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
         predict_rec.py:78-79).
       staged: route upright crops through the separable staged fast path
         (bilinear only; bit-equal to the gather path up to f32 order).
-        Tilted/perspective crops always take the gather path.
+        Tilted/perspective crops always take the gather path. Default
+        OFF: real det quads carry 1-2% PCA tilt, so without axis
+        snapping ~no crop qualifies and the staged branch is pure
+        overhead — and the snap itself was rejected on a real-page
+        accuracy gate (evalgates.jsonl r5_axis_snap). Kept for a future
+        deskew-preserving variant.
     Returns:
       (N, out_h, out_w, 3) float32, normalized to [-1, 1] (rec/cls scheme:
       x/255 → (x-0.5)/0.5, predict_rec.py:74-77).
