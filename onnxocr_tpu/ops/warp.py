@@ -286,6 +286,15 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
         # BORDER_REPLICATE == clamp to the valid source rectangle
         sx = jnp.clip(sx, 0.0, W - 1.0)
         sy = jnp.clip(sy, 0.0, H - 1.0)
+        # padded columns (gx >= vw) are zeroed by the output mask, so
+        # their gathered values are discarded — pin their coords to a
+        # constant index. TPU gather throughput tracks index locality
+        # (a 2-box page warps ~10x faster than a 32-wide-crop page at
+        # identical static shapes, profile r5d), so dead lanes should
+        # not wander across the source image. Output is identical.
+        live = gx < vw
+        sx = jnp.where(live, sx, 0.0)
+        sy = jnp.where(live, sy, 0.0)
         if interp == "bicubic":
             vals = _sample_bicubic(flat, H, W, sx, sy)
         else:
@@ -330,6 +339,10 @@ def warp_crops_multi(images_u8: jax.Array, img_idx: jax.Array,
         inv_w = 1.0 / w
         sx = jnp.clip(u * inv_w, 0.0, W - 1.0)
         sy = jnp.clip(v * inv_w, 0.0, H - 1.0)
+        # dead-lane pinning — see warp_crops.one
+        live = gx < vw
+        sx = jnp.where(live, sx, 0.0)
+        sy = jnp.where(live, sy, 0.0)
         if interp == "bicubic":
             vals = _sample_bicubic_off(flat, H, W, sx, sy, base)
         else:
