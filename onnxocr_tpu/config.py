@@ -186,6 +186,18 @@ DEFAULTS = {
     # bilinear is the default. 'bicubic' restores cv2 INTER_CUBIC
     # crop-pixel parity with the reference warp.
     "tpu_warp_interp": "bilinear",
+    # Staged dense warp fast path (bilinear only): 'off' = per-pixel
+    # gather warp everywhere; 'upright' = exact separable staged path
+    # for exactly-upright affines (engages ~never on real quads without
+    # the rejected axis snap); 'shear' = deskew-PRESERVING staged warp
+    # (ops/warp._staged_shear) — small-tilt affine crops resample at
+    # the exact Catmull-Smith shear heights via staged rows + dense
+    # VPU/MXU passes instead of per-pixel gathers (the warp is the
+    # onecall ceiling on doc pages: rec_warp 99 ms + cls_warp 29 ms,
+    # profile r5d). Tilts beyond ~±4°, rot90 crops, and perspective
+    # quads keep the gather path per crop. Accuracy-gated before any
+    # default flip (y-position error ≤ |d/a| ≤ 0.3 px, typ ≤0.04).
+    "tpu_warp_stage": "off",
     # Wire format of the det prob map download: 'uint8' quantizes to 1/255
     # (box scores shift < 0.002 — the tunnel is the bottleneck, 4x fewer
     # bytes), 'float16', or 'float32' for strict parity.

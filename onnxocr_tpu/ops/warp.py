@@ -191,6 +191,126 @@ def _separable_mask(mats, H: int, out_h: int, out_w: int, tol: float):
     return upright & (span <= _STAGE_ROWS - 3)
 
 
+def _shear_mask(mats, H: int, valid_w, out_h: int):
+    """Crops the shear-staged path can handle: affine (no perspective),
+    |tilt| bounded so (a) the Catmull-Smith y-position error |d/a| stays
+    sub-0.3 px, (b) the per-row x drift b·out_h/a fits the ±3-column
+    shift bank of pass 2b, and (c) the source-row span (including the
+    d·x shear drift across the crop's valid width) fits the staging
+    window. rot90-composed matrices (|a| small) and genuinely
+    perspective quads fall back to the gather path."""
+    a = mats[:, 0, 0]
+    b = mats[:, 0, 1]
+    d = mats[:, 1, 0]
+    e = mats[:, 1, 1]
+    f = mats[:, 1, 2]
+    g = jnp.abs(mats[:, 2, 0])
+    h = jnp.abs(mats[:, 2, 1])
+    affine = (g < 1e-7) & (h < 1e-7)
+    ok_a = jnp.abs(a) >= 0.05
+    a_safe = jnp.where(ok_a, a, 1.0)
+    shear = jnp.abs(d / a_safe) <= 0.3
+    drift = jnp.abs(b * (out_h - 1.0) / a_safe) <= 2.999
+    # y-span over the dest corners (x up to the crop's valid width)
+    xw = jnp.maximum(valid_w.astype(jnp.float32) - 1.0, 0.0)
+    yv = out_h - 1.0
+    c00 = f
+    c10 = d * xw + f
+    c01 = e * yv + f
+    c11 = d * xw + e * yv + f
+    lo = jnp.minimum(jnp.minimum(c00, c10), jnp.minimum(c01, c11))
+    hi = jnp.maximum(jnp.maximum(c00, c10), jnp.maximum(c01, c11))
+    span_ok = (hi - lo) <= (_STAGE_ROWS - 4)
+    return affine & ok_a & shear & drift & span_ok
+
+
+def _staged_shear(image_u8, mats, valid_w, out_h: int, out_w: int):
+    """Deskew-preserving staged warp for small-tilt affine crops.
+
+    The per-pixel gather warp is issue-rate-bound (~120 M gathers/s —
+    rec_warp 99 ms on a 32-crop doc page, profile r5d) and real det
+    quads carry 1-3° tilts that the rejected axis-snap gate proved must
+    be DESKEWED, not dropped (evalgates.jsonl r5_axis_snap). This path
+    keeps the deskew while replacing every per-pixel gather with dense
+    VPU/MXU work, via a Catmull-Smith style decomposition of the affine
+    dest→src map  sx = a·x + b·y + c,  sy = d·x + e·y + f:
+
+      stage   gather the crop's _STAGE_ROWS source rows (dense reads)
+      pass 1  y-resample each source column w at the EXACT shear height
+              σ(v,w) = d·(w − b·v − c)/a + e·v + f — the sy at the dest
+              x that reads column w — as a dense hat-weighted reduction
+              over the staged rows (no gathers; weights built on the fly)
+      pass 2a x-resample at u(x) = a·x + c with per-crop (x,w) hat
+              weights shared across rows — an MXU einsum
+      pass 2b apply the remaining per-row drift b·v/a as a sub-pixel
+              shift from a ±3-column static shift bank (edge-padded
+              slices + select; exact no-op when b = 0)
+
+    vs the gather path: y error ≤ |d/a| ≤ 0.3 px (typ. ≤0.04), x adds
+    one sub-pixel re-interpolation — accuracy-gated before adoption.
+    Returns (K, out_h, out_w, 3) f32 in [0, 255]."""
+    H, W = image_u8.shape[:2]
+    K = mats.shape[0]
+    a = mats[:, 0, 0]
+    b = mats[:, 0, 1]
+    c = mats[:, 0, 2]
+    d = mats[:, 1, 0]
+    e = mats[:, 1, 1]
+    f = mats[:, 1, 2]
+    a = jnp.where(jnp.abs(a) >= 0.05, a, 1.0)  # ineligible rows: finite math
+
+    vs = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    ws = jnp.arange(W, dtype=jnp.float32)
+    rs = jnp.arange(_STAGE_ROWS, dtype=jnp.float32)
+
+    # --- stage: source rows from floor(min corner sy) - 1
+    xw = jnp.maximum(valid_w.astype(jnp.float32) - 1.0, 0.0)
+    yv = out_h - 1.0
+    corners = jnp.stack([f, d * xw + f, e * yv + f, d * xw + e * yv + f],
+                        axis=-1)
+    y0 = jnp.clip(jnp.floor(jnp.min(corners, axis=-1)) - 1.0, 0.0,
+                  float(max(H - 1, 0)))
+    rows = jnp.clip(y0[:, None].astype(jnp.int32) +
+                    jnp.arange(_STAGE_ROWS, dtype=jnp.int32)[None, :],
+                    0, H - 1)                                    # (K, RH)
+    stage = jnp.take(image_u8, rows.reshape(-1), axis=0)
+    stage = stage.reshape(K, _STAGE_ROWS, W, 3).astype(jnp.float32)
+
+    # --- pass 1: T[k,v,w] = Σ_r hat(σl − r) · stage[k,r,w]
+    A = d / a                                                     # (K,)
+    sig = (A[:, None, None] * (ws[None, None, :] -
+                               b[:, None, None] * vs[None, :, None] -
+                               c[:, None, None]) +
+           e[:, None, None] * vs[None, :, None] + f[:, None, None])
+    sig = jnp.clip(sig, 0.0, H - 1.0) - y0[:, None, None]
+    sig = jnp.clip(sig, 0.0, _STAGE_ROWS - 1.0)          # (K, out_h, W)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(sig[:, :, :, None] -
+                                        rs[None, None, None, :]))
+    T = jnp.einsum("kvwr,krwc->kvwc", wy, stage)
+
+    # --- pass 2a: P[k,v,x] = Σ_w hat(clip(a·x + c) − w) · T[k,v,w]
+    u = jnp.clip(a[:, None] * xs[None, :] + c[:, None], 0.0, W - 1.0)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(u[:, :, None] -
+                                        ws[None, None, :]))  # (K,out_w,W)
+    P = jnp.einsum("kxw,kvwc->kvxc", wx, T)
+
+    # --- pass 2b: per-row drift b·v/a as a ±3-column sub-pixel shift
+    shift = b[:, None] * vs[None, :] / a[:, None]            # (K, out_h)
+    m = jnp.clip(jnp.floor(shift), -3.0, 3.0)
+    phi = jnp.clip(shift - m, 0.0, 1.0)[..., None, None]
+    mi = m.astype(jnp.int32)
+    PAD = 4
+    Pp = jnp.pad(P, ((0, 0), (0, 0), (PAD, PAD), (0, 0)), mode="edge")
+    out = jnp.zeros_like(P)
+    for s in range(-3, 4):
+        sl = Pp[:, :, PAD + s:PAD + s + out_w, :]
+        sl1 = Pp[:, :, PAD + s + 1:PAD + s + 1 + out_w, :]
+        sel = (mi == s)[..., None, None]
+        out = jnp.where(sel, (1.0 - phi) * sl + phi * sl1, out)
+    return out
+
+
 def _staged_separable(image_u8, mats, out_h: int, out_w: int):
     """Separable bilinear warp via staged rows + two MXU einsums.
 
@@ -236,7 +356,7 @@ def _staged_separable(image_u8, mats, out_h: int, out_w: int):
                    static_argnames=("out_h", "out_w", "interp", "staged"))
 def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
                out_h: int, out_w: int, interp: str = "bicubic",
-               staged: bool = False) -> jax.Array:
+               staged=False) -> jax.Array:
     """Produce N normalized crops from one source image.
 
     Args:
@@ -245,14 +365,18 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
       valid_w: (N,) int32 resized widths; columns >= valid_w are zeroed
         (matching the reference's zero-pad in normalized space,
         predict_rec.py:78-79).
-      staged: route upright crops through the separable staged fast path
-        (bilinear only; bit-equal to the gather path up to f32 order).
-        Tilted/perspective crops always take the gather path. Default
-        OFF: real det quads carry 1-2% PCA tilt, so without axis
-        snapping ~no crop qualifies and the staged branch is pure
-        overhead — and the snap itself was rejected on a real-page
-        accuracy gate (evalgates.jsonl r5_axis_snap). Kept for a future
-        deskew-preserving variant.
+      staged: route crops through a staged dense fast path instead of
+        per-pixel gathers (bilinear only; tilted/perspective crops
+        always keep the gather path):
+          True/'upright' — exact separable path, engages ONLY on
+            exactly-upright affines (b = d = 0). Real det quads carry
+            1-2% PCA tilt so ~no crop qualifies without axis snapping,
+            and the snap was rejected on a real-page accuracy gate
+            (evalgates.jsonl r5_axis_snap).
+          'shear' — deskew-PRESERVING staged warp (_staged_shear):
+            small-tilt affines resample at the exact shear heights via
+            a Catmull-Smith two-pass; subsumes the upright case.
+        Default False (gather everywhere).
     Returns:
       (N, out_h, out_w, 3) float32, normalized to [-1, 1] (rec/cls scheme:
       x/255 → (x-0.5)/0.5, predict_rec.py:74-77).
@@ -264,13 +388,17 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
     ys = jnp.arange(out_h, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)  # (out_h, out_w)
 
-    use_staged = staged and interp != "bicubic"
+    use_staged = bool(staged) and interp != "bicubic"
     if use_staged:
-        # 1e-5 absorbs the f32 homography-solve residual on exactly
-        # axis-aligned quads (measured <=1.2e-8); x-shift error bound
-        # 48 * 1e-5 < 0.001 px
-        sep = _separable_mask(mats, H, out_h, out_w, 1e-5)
-        fast = _staged_separable(image_u8, mats, out_h, out_w)
+        if staged == "shear":
+            sep = _shear_mask(mats, H, valid_w, out_h)
+            fast = _staged_shear(image_u8, mats, valid_w, out_h, out_w)
+        else:
+            # 1e-5 absorbs the f32 homography-solve residual on exactly
+            # axis-aligned quads (measured <=1.2e-8); x-shift error bound
+            # 48 * 1e-5 < 0.001 px
+            sep = _separable_mask(mats, H, out_h, out_w, 1e-5)
+            fast = _staged_separable(image_u8, mats, out_h, out_w)
         # degenerate (but finite) matrices keep the gather path's cost for
         # fast-path crops near zero: constant index, masked result
         degen = jnp.zeros_like(mats).at[:, 2, 2].set(1.0)

@@ -32,6 +32,8 @@ class TextClassifier:
         self.batch_ladder = tuple(getattr(args, "tpu_batch_buckets",
                                           (1, 2, 4, 8, 16, 32, 64)))
         self.interp = getattr(args, "tpu_warp_interp", "bicubic")
+        _st = getattr(args, "tpu_warp_stage", "off")
+        self.stage = False if _st in ("off", "", None, False) else _st
         self.postprocess_op = ctc_ops.ClsPostProcess(
             label_list=args.label_list)
         dtype = jnp.bfloat16 if getattr(args, "tpu_dtype", "float32") == \
@@ -117,7 +119,7 @@ class TextClassifier:
                     boxes[i], imgH, imgW)
             crops = warp_ops.warp_crops(image_u8_dev, jnp.asarray(mats),
                                         jnp.asarray(valid), imgH, imgW,
-                                        self.interp)
+                                        self.interp, self.stage)
             probs = np.asarray(self.forward(crops))
             probs_all[start:start + len(idxs)] = probs[: len(idxs)]
         cls_res = self.postprocess_op(probs_all)

@@ -28,13 +28,16 @@ from ..ops import warp as warp_ops
 class FusedClsRec:
     def __init__(self, cls_forward, rec_forward, cls_shape=(48, 192),
                  cls_thresh: float = 0.9, idx180: Optional[int] = 1,
-                 interp: str = "bicubic"):
+                 interp: str = "bicubic", stage: str = "off"):
         self.cls_forward = cls_forward
         self.rec_forward = rec_forward
         self.cls_h, self.cls_w = cls_shape
         self.cls_thresh = cls_thresh
         self.idx180 = idx180
         self.interp = interp
+        # staged dense warp mode ('off'|'upright'|'shear') → warp_crops
+        # staged arg (False disables; see ops/warp.warp_crops)
+        self.stage = False if stage in ("off", "", None, False) else stage
         self._jit = {}
 
     def _pp(self, use_cls: bool):
@@ -55,7 +58,7 @@ class FusedClsRec:
             if use_cls:
                 cls_crops = warp_ops.warp_crops(
                     image_u8, cls_mats, cls_valid, self.cls_h, self.cls_w,
-                    self.interp)
+                    self.interp, self.stage)
                 cls_probs = cls_fn(cls_p, cls_crops)
                 rot = (jnp.argmax(cls_probs, axis=1) == self.idx180) & \
                     (cls_probs[:, self.idx180] > self.cls_thresh)
@@ -65,7 +68,7 @@ class FusedClsRec:
                 rot = jnp.zeros((rec_mats.shape[0],), bool)
                 mats = rec_mats
             crops = warp_ops.warp_crops(image_u8, mats, rec_valid, out_h,
-                                        out_w, self.interp)
+                                        out_w, self.interp, self.stage)
             if self.rec_forward.masks_width:
                 idx, prob = rec_fn(rec_p, crops, (rec_valid + 7) // 8)
             else:
@@ -137,7 +140,7 @@ class FusedClsRec:
             if use_cls:
                 cls_crops = warp_ops.warp_crops(
                     image_u8, cls_mats, cls_valid, self.cls_h, self.cls_w,
-                    self.interp)
+                    self.interp, self.stage)
                 cls_probs = cls_fn(cls_p, cls_crops)
                 rot = (jnp.argmax(cls_probs, axis=1) == self.idx180) & \
                     (cls_probs[:, self.idx180] > self.cls_thresh)
@@ -145,7 +148,7 @@ class FusedClsRec:
             else:
                 mats = rec_mats
             crops = warp_ops.warp_crops(image_u8, mats, rec_valid, out_h,
-                                        out_w, self.interp)
+                                        out_w, self.interp, self.stage)
             if self.rec_forward.masks_width:
                 idx, prob_max = rec_fn(rec_p, crops, (rec_valid + 7) // 8)
             else:

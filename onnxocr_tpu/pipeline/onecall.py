@@ -234,7 +234,7 @@ class OneCallPipeline:
                 cls_vw = jnp.where(valid_c, cls_vw, 0)
                 cls_crops = warp_ops.warp_crops(
                     image_u8, cls_m, cls_vw, fused.cls_h, fused.cls_w,
-                    fused.interp)
+                    fused.interp, fused.stage)
                 cls_probs = cls_fn(cls_p, cls_crops)
                 rot = (jnp.argmax(cls_probs, axis=1) == fused.idx180) & \
                     (cls_probs[:, fused.idx180] > fused.cls_thresh)
@@ -242,7 +242,7 @@ class OneCallPipeline:
             else:
                 mats = rec_m
             crops = warp_ops.warp_crops(image_u8, mats, rec_vw, imgH,
-                                        rec_w, fused.interp)
+                                        rec_w, fused.interp, fused.stage)
             if fused.rec_forward.masks_width:
                 idx, prob_max = rec_fn(rec_p, crops, (rec_vw + 7) // 8)
             else:

@@ -37,6 +37,8 @@ class TextRecognizer:
         self.batch_ladder = tuple(getattr(args, "tpu_batch_buckets",
                                           (1, 2, 4, 8, 16, 32, 64)))
         self.interp = getattr(args, "tpu_warp_interp", "bicubic")
+        _st = getattr(args, "tpu_warp_stage", "off")
+        self.stage = False if _st in ("off", "", None, False) else _st
         self.postprocess_op = ctc_ops.CTCLabelDecode(
             character_dict_path=args.rec_char_dict_path,
             use_space_char=args.use_space_char)
@@ -193,7 +195,7 @@ class TextRecognizer:
             valid_arr = np.array(valid + [0] * (bsz - len(indices)), np.int32)
             crops = warp_ops.warp_crops(
                 image_u8_dev, jnp.asarray(mats), jnp.asarray(valid_arr),
-                imgH, bucket_w, self.interp)
+                imgH, bucket_w, self.interp, self.stage)
             return crops, list(valid_arr)
 
         return self._run_batches(make_crops, desired)

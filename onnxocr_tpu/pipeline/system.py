@@ -53,11 +53,13 @@ class TextSystem:
                     cls_shape=cls_shape,
                     cls_thresh=args.cls_thresh,
                     idx180=idx180,
-                    interp=getattr(args, "tpu_warp_interp", "bicubic"))
+                    interp=getattr(args, "tpu_warp_interp", "bicubic"),
+                    stage=getattr(args, "tpu_warp_stage", "off"))
             else:
                 self._fused = fused_mod.FusedClsRec(
                     None, self.text_recognizer.forward,
-                    interp=getattr(args, "tpu_warp_interp", "bicubic"))
+                    interp=getattr(args, "tpu_warp_interp", "bicubic"),
+                    stage=getattr(args, "tpu_warp_stage", "off"))
         self._onecall = None
         if getattr(args, "tpu_pipeline", "staged") == "onecall" and \
                 self._fused is not None and \
