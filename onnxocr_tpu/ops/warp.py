@@ -191,37 +191,88 @@ def _separable_mask(mats, H: int, out_h: int, out_w: int, tol: float):
     return upright & (span <= _STAGE_ROWS - 3)
 
 
-def _shear_mask(mats, H: int, valid_w, out_h: int):
-    """Crops the shear-staged path can handle: affine (no perspective),
-    |tilt| bounded so (a) the Catmull-Smith y-position error |d/a| stays
-    sub-0.3 px, (b) the per-row x drift b·out_h/a fits the ±3-column
-    shift bank of pass 2b, and (c) the source-row span (including the
-    d·x shear drift across the crop's valid width) fits the staging
-    window. rot90-composed matrices (|a| small) and genuinely
-    perspective quads fall back to the gather path."""
-    a = mats[:, 0, 0]
-    b = mats[:, 0, 1]
-    d = mats[:, 1, 0]
-    e = mats[:, 1, 1]
-    f = mats[:, 1, 2]
-    g = jnp.abs(mats[:, 2, 0])
-    h = jnp.abs(mats[:, 2, 1])
-    affine = (g < 1e-7) & (h < 1e-7)
+# pass-2b shift bank half-width (columns of per-row x drift)
+_SHIFT_BANK = 5
+
+
+def _shear_affine(mats, valid_w, out_h: int):
+    """Per-crop least-squares affine through the 4 mapped corners of the
+    valid dest rect, plus eligibility for the shear-staged path.
+
+    The onecall quads are ROUNDED to integer source coords
+    (unpack_boxes contract), which deforms parallelograms into true
+    small-perspective quads (|g| up to ~4e-4 measured on doc pages) —
+    so "affine" cannot be tested on the homography's g/h rows, and the
+    numerator coefficients alone misplace samples by the dropped
+    denominator. Instead: push the dest corners (0,0) (X,0) (0,Y) (X,Y)
+    through the full homography and fit the affine exactly through
+    their midpoints; for a rect-grid the LS fit is closed-form and the
+    non-affine residual is a single vector r = (p00 − p10 − p01 + p11)/4
+    (each corner off by ±r). Exact for parallelograms.
+
+    Returns (a, b, c, d, e, f, elig): the affine dest→src coefficients
+    and the eligibility mask:
+      * map-vs-affine deviation ≤ 0.35 px at 5 interior probes (edge
+        midpoints + center — rounding-deformed quads' fitted homography
+        bows 1-2 px there; those keep the gather path)
+      * |a| ≥ 0.05 (excludes rot90-composed verticals)
+      * |d/a| ≤ 0.3 (Catmull-Smith y-position error bound, px)
+      * |b·(out_h−1)/a| < _SHIFT_BANK (pass-2b shift-bank reach)
+      * corner y-span ≤ staging window
+    """
+    X = jnp.maximum(valid_w.astype(jnp.float32) - 1.0, 1.0)
+    Y = float(max(out_h - 1, 1))
+
+    def corner(x, y):
+        u = mats[:, 0, 0] * x + mats[:, 0, 1] * y + mats[:, 0, 2]
+        v = mats[:, 1, 0] * x + mats[:, 1, 1] * y + mats[:, 1, 2]
+        w = mats[:, 2, 0] * x + mats[:, 2, 1] * y + mats[:, 2, 2]
+        w_ok = jnp.abs(w) > 1e-3
+        w_safe = jnp.where(w_ok, w, 1.0)
+        return u / w_safe, v / w_safe, w_ok
+
+    zero = jnp.zeros_like(X)
+    p00x, p00y, ok00 = corner(zero, 0.0)
+    p10x, p10y, ok10 = corner(X, 0.0)
+    p01x, p01y, ok01 = corner(zero, Y)
+    p11x, p11y, ok11 = corner(X, Y)
+    w_ok = ok00 & ok10 & ok01 & ok11
+
+    a = (p10x + p11x - p00x - p01x) / (2.0 * X)
+    d = (p10y + p11y - p00y - p01y) / (2.0 * X)
+    b = (p01x + p11x - p00x - p10x) / (2.0 * Y)
+    e = (p01y + p11y - p00y - p10y) / (2.0 * Y)
+    c = 0.25 * (p00x + p10x + p01x + p11x) - a * X * 0.5 - b * Y * 0.5
+    f = 0.25 * (p00y + p10y + p01y + p11y) - d * X * 0.5 - e * Y * 0.5
+
+    # interior deviation probes: the fitted homography through 4 rounded
+    # corners BOWS between them (projective leverage: a 0.5 px corner
+    # residual measured 1.4-2 px at edge midpoints on a 320-wide crop),
+    # so bound the REAL map-vs-affine deviation at the 4 edge midpoints
+    # + center, not the corner residual.
+    dev = jnp.zeros(mats.shape[0])
+    for (px_, py_) in ((0.5, 0.0), (0.0, 0.5), (1.0, 0.5), (0.5, 1.0),
+                       (0.5, 0.5)):
+        qx, qy, _ = corner(px_ * X, py_ * Y)
+        ex = qx - (a * px_ * X + b * py_ * Y + c)
+        ey = qy - (d * px_ * X + e * py_ * Y + f)
+        dev = jnp.maximum(dev, jnp.maximum(jnp.abs(ex), jnp.abs(ey)))
+    near_affine = dev <= 0.35
+
     ok_a = jnp.abs(a) >= 0.05
     a_safe = jnp.where(ok_a, a, 1.0)
     shear = jnp.abs(d / a_safe) <= 0.3
-    drift = jnp.abs(b * (out_h - 1.0) / a_safe) <= 2.999
-    # y-span over the dest corners (x up to the crop's valid width)
-    xw = jnp.maximum(valid_w.astype(jnp.float32) - 1.0, 0.0)
-    yv = out_h - 1.0
-    c00 = f
-    c10 = d * xw + f
-    c01 = e * yv + f
-    c11 = d * xw + e * yv + f
-    lo = jnp.minimum(jnp.minimum(c00, c10), jnp.minimum(c01, c11))
-    hi = jnp.maximum(jnp.maximum(c00, c10), jnp.maximum(c01, c11))
+    drift = jnp.abs(b * (out_h - 1.0) / a_safe) <= (_SHIFT_BANK - 0.001)
+    lo = jnp.minimum(jnp.minimum(p00y, p10y), jnp.minimum(p01y, p11y))
+    hi = jnp.maximum(jnp.maximum(p00y, p10y), jnp.maximum(p01y, p11y))
     span_ok = (hi - lo) <= (_STAGE_ROWS - 4)
-    return affine & ok_a & shear & drift & span_ok
+    elig = w_ok & near_affine & ok_a & shear & drift & span_ok
+    return a, b, c, d, e, f, elig
+
+
+def _shear_mask(mats, H: int, valid_w, out_h: int):
+    """Eligibility half of _shear_affine (kept as the select mask)."""
+    return _shear_affine(mats, valid_w, out_h)[-1]
 
 
 def _staged_shear(image_u8, mats, valid_w, out_h: int, out_w: int):
@@ -251,12 +302,9 @@ def _staged_shear(image_u8, mats, valid_w, out_h: int, out_w: int):
     Returns (K, out_h, out_w, 3) f32 in [0, 255]."""
     H, W = image_u8.shape[:2]
     K = mats.shape[0]
-    a = mats[:, 0, 0]
-    b = mats[:, 0, 1]
-    c = mats[:, 0, 2]
-    d = mats[:, 1, 0]
-    e = mats[:, 1, 1]
-    f = mats[:, 1, 2]
+    # LS affine through the mapped corners (NOT the homography's top rows:
+    # rounded quads carry a real denominator — see _shear_affine)
+    a, b, c, d, e, f, _ = _shear_affine(mats, valid_w, out_h)
     a = jnp.where(jnp.abs(a) >= 0.05, a, 1.0)  # ineligible rows: finite math
 
     vs = jnp.arange(out_h, dtype=jnp.float32)
@@ -295,15 +343,16 @@ def _staged_shear(image_u8, mats, valid_w, out_h: int, out_w: int):
                                         ws[None, None, :]))  # (K,out_w,W)
     P = jnp.einsum("kxw,kvwc->kvxc", wx, T)
 
-    # --- pass 2b: per-row drift b·v/a as a ±3-column sub-pixel shift
+    # --- pass 2b: per-row drift b·v/a via the ±_SHIFT_BANK column bank
     shift = b[:, None] * vs[None, :] / a[:, None]            # (K, out_h)
-    m = jnp.clip(jnp.floor(shift), -3.0, 3.0)
+    m = jnp.clip(jnp.floor(shift), -float(_SHIFT_BANK),
+                 float(_SHIFT_BANK))
     phi = jnp.clip(shift - m, 0.0, 1.0)[..., None, None]
     mi = m.astype(jnp.int32)
-    PAD = 4
+    PAD = _SHIFT_BANK + 1
     Pp = jnp.pad(P, ((0, 0), (0, 0), (PAD, PAD), (0, 0)), mode="edge")
     out = jnp.zeros_like(P)
-    for s in range(-3, 4):
+    for s in range(-_SHIFT_BANK, _SHIFT_BANK + 1):
         sl = Pp[:, :, PAD + s:PAD + s + out_w, :]
         sl1 = Pp[:, :, PAD + s + 1:PAD + s + 1 + out_w, :]
         sel = (mi == s)[..., None, None]

@@ -252,3 +252,42 @@ def test_staged_shear_fallback_bit_equal(img):
     slow = np.asarray(w.warp_crops(jnp.asarray(img), mats_j, vw, 48, 320,
                                    interp="bilinear", staged=False))
     assert np.array_equal(fast, slow)
+
+
+def test_staged_shear_rounded_quad_fallback(img):
+    """Onecall quads are rounded to integer source coords, deforming
+    parallelograms into small-perspective quads whose fitted homography
+    BOWS 1-2 px between corners (projective leverage). The interior
+    probes must detect that and route such crops to the gather path
+    bit-for-bit; integer-parallelogram quads (rounding that preserves
+    opposite-side equality) must stay eligible."""
+    import jax.numpy as jnp
+    from onnxocr_tpu.ops import warp as w
+
+    jit = np.array([[0.5, 0.5], [0, 0], [0, 0], [0, -0.5]],
+                   np.float64)
+    mats, widths, want_elig = [], [], []
+    for (cx, cy, cw, ch, ang, j) in [(160, 60, 200, 24, 1.0, True),
+                                     (200, 120, 260, 30, -1.7, True),
+                                     (160, 60, 200, 24, 1.0, False)]:
+        quad = np.round(_rot_box(cx, cy, cw, ch, ang))
+        if j:
+            quad = quad + jit    # rounding-deformed: genuine perspective
+        m, vw = w.build_crop_matrix(quad, 48, 320)
+        if j:
+            assert max(abs(m[2, 0]), abs(m[2, 1])) > 1e-7
+        mats.append(m)
+        widths.append(vw)
+        want_elig.append(not j)
+    mats_j = jnp.asarray(np.stack(mats).astype(np.float32))
+    vw = jnp.asarray(np.array(widths, np.int32))
+    elig = np.asarray(w._shear_mask(mats_j, img.shape[0], vw, 48))
+    assert list(elig) == want_elig, f"eligibility {elig} != {want_elig}"
+    fast = np.asarray(w.warp_crops(jnp.asarray(img), mats_j, vw, 48, 320,
+                                   interp="bilinear", staged="shear"))
+    slow = np.asarray(w.warp_crops(jnp.asarray(img), mats_j, vw, 48, 320,
+                                   interp="bilinear", staged=False))
+    for i in range(2):   # bowed quads: gather path bit-for-bit
+        assert np.array_equal(fast[i], slow[i]), f"crop {i} not fallback"
+    d = np.abs(fast[2, :, :widths[2]] - slow[2, :, :widths[2]]) * 127.5
+    assert d.mean() < 1.2 and np.quantile(d, 0.99) < 14.0
