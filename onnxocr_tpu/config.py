@@ -198,6 +198,18 @@ DEFAULTS = {
     # quads keep the gather path per crop. Accuracy-gated before any
     # default flip (y-position error ≤ |d/a| ≤ 0.3 px, typ ≤0.04).
     "tpu_warp_stage": "off",
+    # Shear-mode eligibility bound (px) on the map-vs-affine deviation at
+    # the interior probes. 0.35 keeps the fast path sub-pixel faithful to
+    # the reference homography; larger values additionally "de-bow"
+    # rounding-deformed quads through their corner affine (accuracy-gate
+    # before changing).
+    "tpu_warp_stage_tol": 0.35,
+    # Static sub-batch size for the shear mode's gather leg: the full-K
+    # gather runs at ~55 M taps/s regardless of index locality (doc_a
+    # microbench r5j), so ineligible crops compact into this many slots;
+    # more than this many falls back to the full gather via lax.cond.
+    # 0 disables the compaction.
+    "tpu_warp_slow_k": 16,
     # Wire format of the det prob map download: 'uint8' quantizes to 1/255
     # (box scores shift < 0.002 — the tunnel is the bottleneck, 4x fewer
     # bytes), 'float16', or 'float32' for strict parity.

@@ -195,7 +195,7 @@ def _separable_mask(mats, H: int, out_h: int, out_w: int, tol: float):
 _SHIFT_BANK = 5
 
 
-def _shear_affine(mats, valid_w, out_h: int):
+def _shear_affine(mats, valid_w, out_h: int, tol: float = 0.35):
     """Per-crop least-squares affine through the 4 mapped corners of the
     valid dest rect, plus eligibility for the shear-staged path.
 
@@ -212,9 +212,10 @@ def _shear_affine(mats, valid_w, out_h: int):
 
     Returns (a, b, c, d, e, f, elig): the affine dest→src coefficients
     and the eligibility mask:
-      * map-vs-affine deviation ≤ 0.35 px at 5 interior probes (edge
+      * map-vs-affine deviation ≤ tol px at 5 interior probes (edge
         midpoints + center — rounding-deformed quads' fitted homography
-        bows 1-2 px there; those keep the gather path)
+        bows 1-2 px there). tol=0.35 keeps those on the gather path;
+        larger tol "de-bows" them through the affine (accuracy-gated)
       * |a| ≥ 0.05 (excludes rot90-composed verticals)
       * |d/a| ≤ 0.3 (Catmull-Smith y-position error bound, px)
       * |b·(out_h−1)/a| < _SHIFT_BANK (pass-2b shift-bank reach)
@@ -257,7 +258,7 @@ def _shear_affine(mats, valid_w, out_h: int):
         ex = qx - (a * px_ * X + b * py_ * Y + c)
         ey = qy - (d * px_ * X + e * py_ * Y + f)
         dev = jnp.maximum(dev, jnp.maximum(jnp.abs(ex), jnp.abs(ey)))
-    near_affine = dev <= 0.35
+    near_affine = dev <= tol
 
     ok_a = jnp.abs(a) >= 0.05
     a_safe = jnp.where(ok_a, a, 1.0)
@@ -270,9 +271,9 @@ def _shear_affine(mats, valid_w, out_h: int):
     return a, b, c, d, e, f, elig
 
 
-def _shear_mask(mats, H: int, valid_w, out_h: int):
+def _shear_mask(mats, H: int, valid_w, out_h: int, tol: float = 0.35):
     """Eligibility half of _shear_affine (kept as the select mask)."""
-    return _shear_affine(mats, valid_w, out_h)[-1]
+    return _shear_affine(mats, valid_w, out_h, tol)[-1]
 
 
 def _staged_shear(image_u8, mats, valid_w, out_h: int, out_w: int):
@@ -402,10 +403,12 @@ def _staged_separable(image_u8, mats, out_h: int, out_w: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("out_h", "out_w", "interp", "staged"))
+                   static_argnames=("out_h", "out_w", "interp", "staged",
+                                    "stage_tol", "slow_k"))
 def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
                out_h: int, out_w: int, interp: str = "bicubic",
-               staged=False) -> jax.Array:
+               staged=False, stage_tol: float = 0.35,
+               slow_k: int = 16) -> jax.Array:
     """Produce N normalized crops from one source image.
 
     Args:
@@ -426,32 +429,27 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
             small-tilt affines resample at the exact shear heights via
             a Catmull-Smith two-pass; subsumes the upright case.
         Default False (gather everywhere).
+      stage_tol: shear-mode eligibility bound (px) on the map-vs-affine
+        deviation at the interior probes. 0.35 keeps the fast path
+        sub-pixel-faithful to the reference homography; larger values
+        additionally "de-bow" rounding-deformed quads (accuracy-gate).
+      slow_k: static sub-batch size for the shear mode's gather leg.
+        The full-K gather costs ~55 M taps/s REGARDLESS of index
+        locality (doc_a microbench: pinning 9/10 crops saved nothing),
+        so ineligible crops are compacted into slow_k slots and only
+        those gather; >slow_k ineligible crops lax.cond-falls back to
+        the full gather. 0 disables the compaction.
     Returns:
       (N, out_h, out_w, 3) float32, normalized to [-1, 1] (rec/cls scheme:
       x/255 → (x-0.5)/0.5, predict_rec.py:74-77).
     """
     H, W = image_u8.shape[:2]
+    K = mats.shape[0]
     flat = image_u8.reshape(-1, 3)  # stays uint8; taps convert post-gather
 
     xs = jnp.arange(out_w, dtype=jnp.float32)
     ys = jnp.arange(out_h, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)  # (out_h, out_w)
-
-    use_staged = bool(staged) and interp != "bicubic"
-    if use_staged:
-        if staged == "shear":
-            sep = _shear_mask(mats, H, valid_w, out_h)
-            fast = _staged_shear(image_u8, mats, valid_w, out_h, out_w)
-        else:
-            # 1e-5 absorbs the f32 homography-solve residual on exactly
-            # axis-aligned quads (measured <=1.2e-8); x-shift error bound
-            # 48 * 1e-5 < 0.001 px
-            sep = _separable_mask(mats, H, out_h, out_w, 1e-5)
-            fast = _staged_separable(image_u8, mats, out_h, out_w)
-        # degenerate (but finite) matrices keep the gather path's cost for
-        # fast-path crops near zero: constant index, masked result
-        degen = jnp.zeros_like(mats).at[:, 2, 2].set(1.0)
-        mats = jnp.where(sep[:, None, None], degen, mats)
 
     def one(mat, vw):
         u = mat[0, 0] * gx + mat[0, 1] * gy + mat[0, 2]
@@ -463,12 +461,9 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
         # BORDER_REPLICATE == clamp to the valid source rectangle
         sx = jnp.clip(sx, 0.0, W - 1.0)
         sy = jnp.clip(sy, 0.0, H - 1.0)
-        # padded columns (gx >= vw) are zeroed by the output mask, so
-        # their gathered values are discarded — pin their coords to a
-        # constant index. TPU gather throughput tracks index locality
-        # (a 2-box page warps ~10x faster than a 32-wide-crop page at
-        # identical static shapes, profile r5d), so dead lanes should
-        # not wander across the source image. Output is identical.
+        # padded columns (gx >= vw) are zeroed by the output mask —
+        # pin their coords to a constant index (dead lanes must not
+        # wander; output identical)
         live = gx < vw
         sx = jnp.where(live, sx, 0.0)
         sy = jnp.where(live, sy, 0.0)
@@ -478,9 +473,49 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
             vals = _sample_bilinear(flat, H, W, sx, sy)
         return vals
 
-    vals = jax.vmap(one)(mats, valid_w)
-    if use_staged:
-        vals = jnp.where(sep[:, None, None, None], fast, vals)
+    use_staged = bool(staged) and interp != "bicubic"
+    if not use_staged:
+        vals = jax.vmap(one)(mats, valid_w)
+    elif staged != "shear":
+        # 1e-5 absorbs the f32 homography-solve residual on exactly
+        # axis-aligned quads (measured <=1.2e-8); x-shift error bound
+        # 48 * 1e-5 < 0.001 px
+        sep = _separable_mask(mats, H, out_h, out_w, 1e-5)
+        fast = _staged_separable(image_u8, mats, out_h, out_w)
+        degen = jnp.zeros_like(mats).at[:, 2, 2].set(1.0)
+        pinned = jnp.where(sep[:, None, None], degen, mats)
+        vals = jnp.where(sep[:, None, None, None], fast,
+                         jax.vmap(one)(pinned, valid_w))
+    else:
+        sep = _shear_mask(mats, H, valid_w, out_h, stage_tol)
+        fast = _staged_shear(image_u8, mats, valid_w, out_h, out_w)
+        degen = jnp.zeros_like(mats).at[:, 2, 2].set(1.0)
+        pinned = jnp.where(sep[:, None, None], degen, mats)
+
+        def full_gather(fast):
+            g = jax.vmap(one)(pinned, valid_w)
+            return jnp.where(sep[:, None, None, None], fast, g)
+
+        if not slow_k or slow_k >= K:
+            vals = full_gather(fast)
+        else:
+            # compact the ineligible live crops into slow_k static slots:
+            # the gather runs at ~55 M taps/s regardless of locality, so
+            # its cost is set by the STATIC slot count alone
+            slow = (~sep) & (valid_w > 0)
+            n_slow = jnp.sum(slow.astype(jnp.int32))
+            idx = jnp.argsort(jnp.where(slow, 0, 1), stable=True)[:slow_k]
+            sub_vw = jnp.where(slow[idx], valid_w[idx], 0)
+
+            def small_gather(fast):
+                sub = jax.vmap(one)(mats[idx], sub_vw)
+                cur = fast[idx]
+                sub = jnp.where(slow[idx][:, None, None, None], sub, cur)
+                return fast.at[idx].set(sub)
+
+            vals = jax.lax.cond(n_slow <= slow_k, small_gather,
+                                full_gather, fast)
+
     vals = jnp.clip(vals, 0.0, 255.0)
     norm = (vals / 255.0 - 0.5) / 0.5
     mask = (gx[None] < valid_w[:, None, None])[..., None]

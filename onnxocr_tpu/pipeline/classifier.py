@@ -34,6 +34,8 @@ class TextClassifier:
         self.interp = getattr(args, "tpu_warp_interp", "bicubic")
         _st = getattr(args, "tpu_warp_stage", "off")
         self.stage = False if _st in ("off", "", None, False) else _st
+        self.stage_tol = getattr(args, "tpu_warp_stage_tol", 0.35)
+        self.slow_k = getattr(args, "tpu_warp_slow_k", 16)
         self.postprocess_op = ctc_ops.ClsPostProcess(
             label_list=args.label_list)
         dtype = jnp.bfloat16 if getattr(args, "tpu_dtype", "float32") == \
@@ -119,7 +121,8 @@ class TextClassifier:
                     boxes[i], imgH, imgW)
             crops = warp_ops.warp_crops(image_u8_dev, jnp.asarray(mats),
                                         jnp.asarray(valid), imgH, imgW,
-                                        self.interp, self.stage)
+                                        self.interp, self.stage,
+                                        self.stage_tol, self.slow_k)
             probs = np.asarray(self.forward(crops))
             probs_all[start:start + len(idxs)] = probs[: len(idxs)]
         cls_res = self.postprocess_op(probs_all)

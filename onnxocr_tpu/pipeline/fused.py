@@ -28,7 +28,8 @@ from ..ops import warp as warp_ops
 class FusedClsRec:
     def __init__(self, cls_forward, rec_forward, cls_shape=(48, 192),
                  cls_thresh: float = 0.9, idx180: Optional[int] = 1,
-                 interp: str = "bicubic", stage: str = "off"):
+                 interp: str = "bicubic", stage: str = "off",
+                 stage_tol: float = 0.35, slow_k: int = 16):
         self.cls_forward = cls_forward
         self.rec_forward = rec_forward
         self.cls_h, self.cls_w = cls_shape
@@ -38,6 +39,8 @@ class FusedClsRec:
         # staged dense warp mode ('off'|'upright'|'shear') → warp_crops
         # staged arg (False disables; see ops/warp.warp_crops)
         self.stage = False if stage in ("off", "", None, False) else stage
+        self.stage_tol = float(stage_tol)
+        self.slow_k = int(slow_k)
         self._jit = {}
 
     def _pp(self, use_cls: bool):
@@ -58,7 +61,7 @@ class FusedClsRec:
             if use_cls:
                 cls_crops = warp_ops.warp_crops(
                     image_u8, cls_mats, cls_valid, self.cls_h, self.cls_w,
-                    self.interp, self.stage)
+                    self.interp, self.stage, self.stage_tol, self.slow_k)
                 cls_probs = cls_fn(cls_p, cls_crops)
                 rot = (jnp.argmax(cls_probs, axis=1) == self.idx180) & \
                     (cls_probs[:, self.idx180] > self.cls_thresh)
@@ -68,7 +71,7 @@ class FusedClsRec:
                 rot = jnp.zeros((rec_mats.shape[0],), bool)
                 mats = rec_mats
             crops = warp_ops.warp_crops(image_u8, mats, rec_valid, out_h,
-                                        out_w, self.interp, self.stage)
+                                        out_w, self.interp, self.stage, self.stage_tol, self.slow_k)
             if self.rec_forward.masks_width:
                 idx, prob = rec_fn(rec_p, crops, (rec_valid + 7) // 8)
             else:
@@ -140,7 +143,7 @@ class FusedClsRec:
             if use_cls:
                 cls_crops = warp_ops.warp_crops(
                     image_u8, cls_mats, cls_valid, self.cls_h, self.cls_w,
-                    self.interp, self.stage)
+                    self.interp, self.stage, self.stage_tol, self.slow_k)
                 cls_probs = cls_fn(cls_p, cls_crops)
                 rot = (jnp.argmax(cls_probs, axis=1) == self.idx180) & \
                     (cls_probs[:, self.idx180] > self.cls_thresh)
@@ -148,7 +151,7 @@ class FusedClsRec:
             else:
                 mats = rec_mats
             crops = warp_ops.warp_crops(image_u8, mats, rec_valid, out_h,
-                                        out_w, self.interp, self.stage)
+                                        out_w, self.interp, self.stage, self.stage_tol, self.slow_k)
             if self.rec_forward.masks_width:
                 idx, prob_max = rec_fn(rec_p, crops, (rec_valid + 7) // 8)
             else:

@@ -39,6 +39,8 @@ class TextRecognizer:
         self.interp = getattr(args, "tpu_warp_interp", "bicubic")
         _st = getattr(args, "tpu_warp_stage", "off")
         self.stage = False if _st in ("off", "", None, False) else _st
+        self.stage_tol = getattr(args, "tpu_warp_stage_tol", 0.35)
+        self.slow_k = getattr(args, "tpu_warp_slow_k", 16)
         self.postprocess_op = ctc_ops.CTCLabelDecode(
             character_dict_path=args.rec_char_dict_path,
             use_space_char=args.use_space_char)
@@ -195,7 +197,8 @@ class TextRecognizer:
             valid_arr = np.array(valid + [0] * (bsz - len(indices)), np.int32)
             crops = warp_ops.warp_crops(
                 image_u8_dev, jnp.asarray(mats), jnp.asarray(valid_arr),
-                imgH, bucket_w, self.interp, self.stage)
+                imgH, bucket_w, self.interp, self.stage,
+                self.stage_tol, self.slow_k)
             return crops, list(valid_arr)
 
         return self._run_batches(make_crops, desired)

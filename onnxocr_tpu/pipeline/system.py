@@ -54,12 +54,16 @@ class TextSystem:
                     cls_thresh=args.cls_thresh,
                     idx180=idx180,
                     interp=getattr(args, "tpu_warp_interp", "bicubic"),
-                    stage=getattr(args, "tpu_warp_stage", "off"))
+                    stage=getattr(args, "tpu_warp_stage", "off"),
+                    stage_tol=getattr(args, "tpu_warp_stage_tol", 0.35),
+                    slow_k=getattr(args, "tpu_warp_slow_k", 16))
             else:
                 self._fused = fused_mod.FusedClsRec(
                     None, self.text_recognizer.forward,
                     interp=getattr(args, "tpu_warp_interp", "bicubic"),
-                    stage=getattr(args, "tpu_warp_stage", "off"))
+                    stage=getattr(args, "tpu_warp_stage", "off"),
+                    stage_tol=getattr(args, "tpu_warp_stage_tol", 0.35),
+                    slow_k=getattr(args, "tpu_warp_slow_k", 16))
         self._onecall = None
         if getattr(args, "tpu_pipeline", "staged") == "onecall" and \
                 self._fused is not None and \

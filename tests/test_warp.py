@@ -291,3 +291,40 @@ def test_staged_shear_rounded_quad_fallback(img):
         assert np.array_equal(fast[i], slow[i]), f"crop {i} not fallback"
     d = np.abs(fast[2, :, :widths[2]] - slow[2, :, :widths[2]]) * 127.5
     assert d.mean() < 1.2 and np.quantile(d, 0.99) < 14.0
+
+
+def test_staged_shear_slow_k_compaction(img):
+    """The shear mode's gather leg runs on a compacted slow_k sub-batch
+    (the full-K gather costs ~55 M taps/s regardless of locality). With
+    ineligible crops <= slow_k the output must equal the uncompacted
+    path; overflow (> slow_k) must lax.cond-fall back identically."""
+    import jax.numpy as jnp
+    from onnxocr_tpu.ops import warp as w
+
+    boxes = [
+        [[10, 12], [210, 12], [210, 60], [10, 60]],             # upright
+        _rot_box(160, 100, 180, 30, 25.0),                      # steep
+        _rot_box(300, 200, 200, 26, 1.4),                       # shear-ok
+        _rot_box(260, 320, 150, 22, -30.0),                     # steep
+        [[150, 20], [190, 20], [190, 170], [150, 170]],         # rot90
+    ]
+    mats, widths = [], []
+    for b in boxes:
+        m, vw = w.build_crop_matrix(np.asarray(b, np.float32), 48, 320)
+        mats.append(m)
+        widths.append(vw)
+    mats_j = jnp.asarray(np.stack(mats).astype(np.float32))
+    vw = jnp.asarray(np.array(widths, np.int32))
+    ref = np.asarray(w.warp_crops(jnp.asarray(img), mats_j, vw, 48, 320,
+                                  interp="bilinear", staged="shear",
+                                  slow_k=0))
+    # 3 ineligible crops fit slow_k=4 → compacted small gather
+    small = np.asarray(w.warp_crops(jnp.asarray(img), mats_j, vw, 48, 320,
+                                    interp="bilinear", staged="shear",
+                                    slow_k=4))
+    np.testing.assert_array_equal(small, ref)
+    # slow_k=2 overflows (3 ineligible) → full-gather fallback, identical
+    over = np.asarray(w.warp_crops(jnp.asarray(img), mats_j, vw, 48, 320,
+                                   interp="bilinear", staged="shear",
+                                   slow_k=2))
+    np.testing.assert_array_equal(over, ref)
