@@ -73,8 +73,14 @@ def test_wave_coalesced_pair_matches_single(pages, single_model,
     det = wave_model.text_detector
     cap = det_pre.round_up(int(det.limit_side_len), det.bucket)
     sb = resize_dev.src_bucket_shape(*pages[0].shape[:2]) + (3,)
-    oc._wave.warm_sync(True, sb, cap, cap, 2)
-    key = (True, sb, cap, cap)
+    # the wave key includes the extraction-window bucket (r5): warm the
+    # tier at the window the pages will actually request
+    rh, rw = det_pre.det_resize_target(
+        pages[0].shape[0], pages[0].shape[1], det.limit_side_len,
+        det.limit_type)
+    eh, ew = oc._ex_window(rh, rw, cap, cap)
+    oc._wave.warm_sync(True, sb, cap, cap, 2, eh, ew)
+    key = (True, sb, cap, cap, eh, ew)
     assert (key, 2) in oc._wave._ready
 
     # hold the dispatcher so both requests queue together, then release
