@@ -513,8 +513,14 @@ def warp_crops(image_u8: jax.Array, mats: jax.Array, valid_w: jax.Array,
                 sub = jnp.where(slow[idx][:, None, None, None], sub, cur)
                 return fast.at[idx].set(sub)
 
-            vals = jax.lax.cond(n_slow <= slow_k, small_gather,
-                                full_gather, fast)
+            def some_slow(fast):
+                return jax.lax.cond(n_slow <= slow_k, small_gather,
+                                    full_gather, fast)
+
+            # fully-eligible pages (the common case on docs/scans) skip
+            # the gather leg entirely — without this tier the slow_k
+            # sub-gather alone cost small pages +20 ms (sweep r5k)
+            vals = jax.lax.cond(n_slow == 0, lambda f: f, some_slow, fast)
 
     vals = jnp.clip(vals, 0.0, 255.0)
     norm = (vals / 255.0 - 0.5) / 0.5
