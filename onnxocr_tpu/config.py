@@ -197,7 +197,11 @@ DEFAULTS = {
     # profile r5d). Tilts beyond ~±4°, rot90 crops, and perspective
     # quads keep the gather path per crop. Accuracy-gated before any
     # default flip (y-position error ≤ |d/a| ≤ 0.3 px, typ ≤0.04).
-    "tpu_warp_stage": "off",
+    # Default 'shear' (round-5): held-out gates equal-or-better than the
+    # gather-only head (r5j: 0.885/0.799, real 0.738/0.692 vs 0.883/
+    # 0.795, 0.738/0.685) at doc_a 161->67 ms, dense 150->64 ms
+    # (scratch/r5k sweeps; evalgates.jsonl r5_shear_v2/r5_shear_adopt).
+    "tpu_warp_stage": "shear",
     # Shear-mode eligibility bound (px) on the map-vs-affine deviation at
     # the interior probes. 0.35 keeps the fast path sub-pixel faithful to
     # the reference homography; larger values additionally "de-bow"
