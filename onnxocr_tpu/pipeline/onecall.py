@@ -132,7 +132,7 @@ class OneCallPipeline:
         repl = shd.NamedSharding(mesh, P())
         data1 = shd.NamedSharding(mesh, P("data"))
         data4 = shd.NamedSharding(mesh, P("data", None, None, None))
-        step = self._make_step(use_cls, slow_k=0)
+        step = self._make_step(use_cls, wave=True)
 
         def batched(det_p, cls_p, rec_p, images_u8, src_h, src_w,
                     r_h, r_w):
@@ -148,10 +148,11 @@ class OneCallPipeline:
                           data1),
             out_shardings=shd.NamedSharding(mesh, P("data", None, None)))
 
-    def _make_step(self, use_cls: bool, slow_k=None):
-        """slow_k=0 for the vmapped (wave / sharded) builders: vmap turns
+    def _make_step(self, use_cls: bool, wave: bool = False):
+        """wave=True for the vmapped (wave / sharded) builders: vmap turns
         the shear warp's lax.cond into a select that executes BOTH gather
-        legs, so batched programs keep the plain pinned full gather."""
+        legs AND the staged fast path on top, so batched programs keep
+        the plain gather warp (stage off)."""
         det_fwd = self.detector.forward
         pp = self.detector.postprocess_op
         fused = self.fused
@@ -237,8 +238,8 @@ class OneCallPipeline:
                 cls_vw = jnp.where(valid_c, cls_vw, 0)
                 cls_crops = warp_ops.warp_crops(
                     image_u8, cls_m, cls_vw, fused.cls_h, fused.cls_w,
-                    fused.interp, fused.stage, fused.stage_tol,
-                    fused.slow_k if slow_k is None else slow_k)
+                    fused.interp, False if wave else fused.stage,
+                    fused.stage_tol, fused.slow_k)
                 cls_probs = cls_fn(cls_p, cls_crops)
                 rot = (jnp.argmax(cls_probs, axis=1) == fused.idx180) & \
                     (cls_probs[:, fused.idx180] > fused.cls_thresh)
@@ -246,10 +247,9 @@ class OneCallPipeline:
             else:
                 mats = rec_m
             crops = warp_ops.warp_crops(image_u8, mats, rec_vw, imgH,
-                                        rec_w, fused.interp, fused.stage,
-                                        fused.stage_tol,
-                                        fused.slow_k if slow_k is None
-                                        else slow_k)
+                                        rec_w, fused.interp,
+                                        False if wave else fused.stage,
+                                        fused.stage_tol, fused.slow_k)
             if fused.rec_forward.masks_width:
                 idx, prob_max = rec_fn(rec_p, crops, (rec_vw + 7) // 8)
             else:
@@ -349,7 +349,7 @@ class OneCallPipeline:
         with self._jit_lock:
             fn = self._jit_batched.get(key)
             if fn is None:
-                step = self._make_step(use_cls, slow_k=0)
+                step = self._make_step(use_cls, wave=True)
 
                 def batched(det_p, cls_p, rec_p, images_u8, src_h, src_w,
                             r_h, r_w):

@@ -132,4 +132,9 @@ def test_sharded_onecall_batch():
                             jnp.asarray(pages[0]), jnp.int32(64),
                             jnp.int32(64), jnp.int32(64), jnp.int32(64),
                             out_h=64, out_w=64))
-    np.testing.assert_allclose(one, packed[0], rtol=1e-5, atol=1e-5)
+    # 2e-3: the single-page program warps eligible crops through the
+    # shear-staged fast path while the vmapped/sharded program keeps the
+    # gather warp (vmap turns its lax.cond into a both-legs select, so
+    # batched builders disable staging) — rec probs differ at the
+    # sub-pixel-resample level, texts and geometry are identical
+    np.testing.assert_allclose(one, packed[0], rtol=2e-3, atol=2e-3)
