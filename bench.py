@@ -266,8 +266,12 @@ def main():
     # one program + ONE download per wave amortizes the ~40 ms tunnel RTT.
     # Tiers are pre-compiled in a warm phase below; the coalescer never
     # compiles on the timed path. BENCH_WAVE=0 restores per-page dispatch.
+    # Waves default OFF since round 5: the shear-staged warp (the round-5
+    # device-time win, single-page programs only) outweighs the wave's RTT
+    # amortization — serve A/B: singles p50 412.6 ms vs waves 514.2 @8
+    # clients. BENCH_WAVE=1 restores wave coalescing.
     use_waves = (pipeline_mode == "onecall" and
-                 os.environ.get("BENCH_WAVE", "1") == "1")
+                 os.environ.get("BENCH_WAVE", "0") == "1")
     model = ONNXPaddleOcr(use_angle_cls=True, use_gpu=False, drop_score=0.0,
                           tpu_det_microbatch=pipeline_mode != "onecall",
                           tpu_rec_microbatch=pipeline_mode != "onecall",

@@ -119,8 +119,14 @@ class EngineManager:
 
     @property
     def _wave_batch(self) -> bool:
+        # Default OFF since round 5: the shear-staged warp is single-page
+        # only (vmap turns its lax.cond into a both-legs select), so
+        # single-page dispatch beats waves under load — serve A/B @8
+        # clients: singles 8.38 img/s p50 412.6 ms vs waves 8.67 / 514.2
+        # (scratch/bench_service_r5{b,c}.log). WAVE_BATCH=1 restores
+        # wave coalescing (RTT amortization for slow-link deployments).
         import os
-        return os.environ.get("WAVE_BATCH", "1").lower() in ("1", "true") \
+        return os.environ.get("WAVE_BATCH", "0").lower() in ("1", "true") \
             and self.concurrency > 1
 
     @property
