@@ -179,7 +179,11 @@ def test_rec_crop_batcher_parity(test_image):
     import concurrent.futures
     from onnxocr_tpu import ONNXPaddleOcr
 
-    plain = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0)
+    # the multi-source batcher keeps the gather warp (warp_crops_multi
+    # has no staged path), so the parity reference pins the same warp
+    # config instead of the shear default
+    plain = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0,
+                          tpu_warp_stage="off")
     batched = ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0,
                             tpu_rec_microbatch=True)
     small = test_image[:256, :256]

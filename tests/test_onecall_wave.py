@@ -39,9 +39,12 @@ def pages():
 @pytest.fixture(scope="module")
 def single_model():
     from onnxocr_tpu import ONNXPaddleOcr
+    # wave programs keep the gather warp (vmap turns the shear cond into
+    # a both-legs select), so the coalesced-vs-single parity reference
+    # pins the same warp config
     return ONNXPaddleOcr(use_angle_cls=True, drop_score=0.0,
                          det_limit_side_len=640, tpu_det_bucket=320,
-                         tpu_pipeline="onecall")
+                         tpu_pipeline="onecall", tpu_warp_stage="off")
 
 
 @pytest.fixture(scope="module")
@@ -60,7 +63,11 @@ def _results_equal(got, ref):
         gb = np.asarray(g[0], np.float64)
         rb = np.asarray(r[0], np.float64)
         assert np.abs(gb - rb).max() <= 1e-3
-        assert abs(float(g[1][1]) - float(r[1][1])) < 1e-5
+        # 2e-3: lone requests dispatch through the single-page program,
+        # which warps eligible crops via the shear-staged path while the
+        # pinned reference gathers — scores differ at the sub-pixel
+        # resample level, texts are identical
+        assert abs(float(g[1][1]) - float(r[1][1])) < 2e-3
 
 
 def test_wave_coalesced_pair_matches_single(pages, single_model,
